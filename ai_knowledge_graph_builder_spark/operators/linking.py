@@ -1,0 +1,195 @@
+"""J1-J3 + A1: dictionary/alias entity linking and external-entity creation.
+
+Reference semantics (entity_extractor.py:110-151, 196-308):
+
+- J1 alias dictionary: per-type name expansions into a plain dict — later
+  assignments OVERWRITE earlier ones (last-wins), but the KEY keeps its
+  first-insertion position (Python dict), which is the iteration order the
+  fuzzy argmax depends on.
+- J2 exact match: ``mention.lower().strip() in dict`` → confidence 0.95.
+- J3 fuzzy match: argmax difflib ratio over ALL aliases in key order with
+  strict ``>`` (first-max wins), accept at ≥ 0.90, confidence round(score, 2).
+- A1 external entities: remaining mentions grouped by normalized text;
+  ≥ 2 occurrences → ExternalEntity resolved at confidence 0.4, with the
+  label/first-doc of the FIRST mention in arrival order; < 2 → dropped.
+
+Spark realization / scale notes:
+
+- The alias table is a broadcast dimension (it is a dictionary by
+  construction). The exact join J2 is a broadcast hash join — zero shuffle on
+  the mention side.
+- Fuzzy scoring runs only over DISTINCT unresolved normalized texts (the
+  score is a pure function of the text), collapsing the reference's
+  O(mentions × aliases) scan to O(distinct_texts × feasible_aliases) with an
+  exact-safe length-band prefilter (functions/fuzzy.py). The distinct set is
+  scored in parallel via mapInPandas with the alias list as a task broadcast.
+- A1 is a single partial+final hash aggregation keyed by normalized text;
+  "first mention" is min(struct(url, mention_idx)) — explicit arrival order,
+  no reliance on physical row order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.fuzzy import best_alias_match
+from ..functions.hashing import external_entity_id
+
+RESOLUTION_THRESHOLD = 0.90  # config/pipeline.yaml:56
+EXTERNAL_ENTITY_THRESHOLD = 2  # config/pipeline.yaml:63
+EXACT_CONFIDENCE = 0.95  # entity_extractor.py:214
+EXTERNAL_CONFIDENCE = 0.4  # entity_extractor.py:257
+
+
+def build_alias_table(registry: DataFrame) -> DataFrame:
+    """J1: registry → (alias, entity_id, insertion_idx) with dict collision
+    semantics. insertion_idx = registry.insertion_idx * 8 + slot, which is
+    order-isomorphic to the reference's global assignment counter (≤ 6 alias
+    slots per entity), so last-wins / first-key-order behave identically."""
+    low = F.lower
+    slots = F.array(
+        F.when(F.col("entity_type") == "employee", low("full_name")),
+        F.when(F.col("entity_type") == "employee", low("first_name")),
+        F.when(F.col("entity_type") == "employee", low("last_name")),
+        F.when(F.col("entity_type") == "employee", F.concat(F.lit("mr. "), low("last_name"))),
+        F.when(F.col("entity_type") == "employee", F.concat(F.lit("ms. "), low("last_name"))),
+        F.when(F.col("entity_type") == "project", low("name")),
+        F.when(F.col("entity_type") == "project", F.concat(F.lit("project "), low("name"))),
+        F.when(F.col("entity_type") == "regulation", low("name")),
+        F.when(F.col("entity_type") == "regulation", low("full_name")),
+        F.when(F.col("entity_type").isin("product", "policy"), low("name")),
+    )
+    exploded = (
+        registry.select("entity_id", "insertion_idx", F.posexplode(slots).alias("slot", "alias"))
+        .filter(F.col("alias").isNotNull())
+    )
+    raw = exploded.select(
+        "alias",
+        "entity_id",
+        (F.col("insertion_idx") * 16 + F.col("slot")).alias("insertion_idx"),
+    )
+    # last-wins value, first-insertion key order (see module docstring)
+    return raw.groupBy("alias").agg(
+        F.max_by("entity_id", "insertion_idx").alias("entity_id"),
+        F.min("insertion_idx").alias("insertion_idx"),
+    )
+
+
+def link_exact(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """J2: broadcast hash join on the normalized mention text. Adds columns
+    norm, resolved_id (null if unmatched)."""
+    m = mentions.withColumn("norm", F.lower(F.trim(F.col("text"))))
+    a = aliases.select(F.col("alias").alias("norm"), F.col("entity_id").alias("exact_id"))
+    return m.join(F.broadcast(a), "norm", "left")
+
+
+def score_fuzzy(distinct_texts: DataFrame, alias_rows: list[tuple[str, str, int]]) -> DataFrame:
+    """J3 scoring: distinct unresolved texts → (norm, fuzzy_id, fuzzy_score).
+    ``alias_rows`` is [(alias, entity_id, insertion_idx)] — sorted here by
+    insertion_idx to reproduce dict key order."""
+    ordered = sorted(alias_rows, key=lambda r: r[2])
+    alias_list = [r[0] for r in ordered]
+    alias_to_id = {r[0]: r[1] for r in ordered}
+    spark = distinct_texts.sparkSession
+    bc = spark.sparkContext.broadcast((alias_list, alias_to_id))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names, to_id = bc.value
+        for pdf in batches:
+            ids, scores = [], []
+            for t in pdf["norm"]:
+                best, score = best_alias_match(t, names, RESOLUTION_THRESHOLD)
+                ids.append(to_id[best] if best is not None else None)
+                scores.append(round(score, 2) if best is not None else None)
+            yield pd.DataFrame(
+                {
+                    "norm": pdf["norm"],
+                    "fuzzy_id": pd.array(ids, dtype="string"),
+                    "fuzzy_score": pd.array(scores, dtype="float64"),
+                }
+            )
+
+    return distinct_texts.mapInPandas(_score, "norm string, fuzzy_id string, fuzzy_score double")
+
+
+def _ext_id_udf():
+    # created lazily: pandas_udf type parsing needs an active SparkSession
+    def f(norm: pd.Series, label: pd.Series) -> pd.Series:
+        return pd.Series([external_entity_id(n, l) for n, l in zip(norm, label)])
+
+    return F.pandas_udf(f, "string")
+
+
+def resolve_mentions(
+    mentions_raw: DataFrame,
+    aliases: DataFrame,
+    alias_rows: list[tuple[str, str, int]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full J2→J3→A1 resolution. Returns (mentions_resolved, external_nodes).
+
+    ``alias_rows`` lets callers avoid a re-collect when they already hold the
+    alias table driver-side; otherwise it is collected here (broadcast-sized
+    by construction — it is the reference's in-memory dict)."""
+    if alias_rows is None:
+        alias_rows = [
+            (r["alias"], r["entity_id"], r["insertion_idx"])
+            for r in aliases.select("alias", "entity_id", "insertion_idx").collect()
+        ]
+
+    m = link_exact(mentions_raw, aliases)
+    exact = m.filter(F.col("exact_id").isNotNull()).select(
+        *mentions_raw.columns,
+        F.col("exact_id").alias("resolved_id"),
+        F.lit("exact_match").alias("resolution_method"),
+        F.lit("canonical").alias("resolution_type"),
+        F.lit(EXACT_CONFIDENCE).alias("confidence"),
+    )
+
+    unresolved = m.filter(F.col("exact_id").isNull()).drop("exact_id")
+    scored = score_fuzzy(unresolved.select("norm").distinct(), alias_rows)
+    u = unresolved.join(F.broadcast(scored), "norm", "left")
+
+    fuzzy = u.filter(F.col("fuzzy_id").isNotNull()).select(
+        *mentions_raw.columns,
+        F.col("fuzzy_id").alias("resolved_id"),
+        F.lit("fuzzy_match").alias("resolution_method"),
+        F.lit("canonical").alias("resolution_type"),
+        F.col("fuzzy_score").alias("confidence"),
+    )
+
+    # A1: external-entity aggregation over what's still unresolved
+    still = u.filter(F.col("fuzzy_id").isNull())
+    grouped = still.groupBy("norm").agg(
+        F.count(F.lit(1)).alias("mention_count"),
+        F.min(F.struct("url", "mention_idx", "label")).alias("first"),
+    )
+    ext = (
+        grouped.filter(F.col("mention_count") >= EXTERNAL_ENTITY_THRESHOLD)
+        .select(
+            "norm",
+            _ext_id_udf()(F.col("norm"), F.col("first.label")).alias("ext_id"),
+            F.col("first.url").alias("first_doc"),
+        )
+    )
+    external = still.join(F.broadcast(ext.select("norm", "ext_id")), "norm", "inner").select(
+        *mentions_raw.columns,
+        F.col("ext_id").alias("resolved_id"),
+        F.lit("external_entity").alias("resolution_method"),
+        F.lit("external").alias("resolution_type"),
+        F.lit(EXTERNAL_CONFIDENCE).alias("confidence"),
+    )
+
+    resolved = exact.unionByName(fuzzy).unionByName(external)
+
+    external_nodes = ext.select(
+        F.col("ext_id").alias("id"),
+        F.col("norm").alias("name"),
+        F.lit("ExternalEntity").alias("node_type"),
+        F.lit(EXTERNAL_CONFIDENCE).alias("confidence"),
+        F.lit("phase7_extraction").alias("source"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return resolved, external_nodes

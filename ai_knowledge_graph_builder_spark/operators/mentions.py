@@ -1,0 +1,78 @@
+"""U1: NER mention detection as an Arrow-vectorized flat-map.
+
+Reference: driver loop ``nlp(text)`` per document, keeping spans labelled
+PERSON/ORG/PRODUCT/GPE/LAW (entity_extractor.py:154-194). Here: one
+``mapInPandas`` over documents; the detector (RuleNER, or spaCy when
+installed) is constructed once per Python worker and reused across Arrow
+batches — the per-executor model-singleton pattern (SURVEY.md §7.4 risk 5).
+
+Long pages are NOT chunked before NER here because the rule detector is
+O(len); a spaCy-backed detector would wrap itself with
+``functions.chunking.chunk_text`` and offset-shift the spans (north rule
+"chunked mention detection").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.ner import NER_LABELS, RuleNER
+
+MENTION_SCHEMA = (
+    "url string, doc_type string, mention_idx int, text string, "
+    "label string, start int, end int"
+)
+
+# per-worker detector cache: (id of gazetteer tuple) → detector
+_DETECTOR_CACHE: dict = {}
+
+
+def _get_detector(gazetteer: tuple[tuple[str, str], ...] | None):
+    det = _DETECTOR_CACHE.get(gazetteer)
+    if det is None:
+        det = RuleNER(list(gazetteer) if gazetteer else None)
+        _DETECTOR_CACHE[gazetteer] = det
+    return det
+
+
+def detect_mentions(
+    documents: DataFrame,
+    gazetteer: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """documents → mentions_raw (MENTIONS_RAW schema). Applies the
+    word_count > 0 filter (P1 — entity_extractor.py:161) and the NER label
+    filter (P2 — entity_extractor.py:176)."""
+    gaz = tuple(gazetteer) if gazetteer else None
+    src = documents.filter(F.col("word_count") > 0).select("url", "doc_type", "extracted_text")
+
+    def _detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        detector = _get_detector(gaz)
+        for pdf in batches:
+            urls, dts, idxs, texts, labels, starts, ends = [], [], [], [], [], [], []
+            for url, doc_type, text in zip(pdf["url"], pdf["doc_type"], pdf["extracted_text"]):
+                for mi, m in enumerate(detector(text)):
+                    if m.label not in NER_LABELS:
+                        continue
+                    urls.append(url)
+                    dts.append(doc_type)
+                    idxs.append(mi)
+                    texts.append(m.text)
+                    labels.append(m.label)
+                    starts.append(m.start)
+                    ends.append(m.end)
+            yield pd.DataFrame(
+                {
+                    "url": pd.array(urls, dtype="string"),
+                    "doc_type": pd.array(dts, dtype="string"),
+                    "mention_idx": pd.array(idxs, dtype="int32"),
+                    "text": pd.array(texts, dtype="string"),
+                    "label": pd.array(labels, dtype="string"),
+                    "start": pd.array(starts, dtype="int32"),
+                    "end": pd.array(ends, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(_detect, MENTION_SCHEMA)

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same builder is used by tests (small ``local[N]``) and the bench/pipeline
+entry points. Settings are the ones that matter at 100 TB: AQE (runtime
+coalescing + skew-join splitting), Arrow for every pandas UDF boundary,
+explicit shuffle parallelism, and broadcast threshold high enough that the
+alias dictionary / rule table always broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kg-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # match parallelism: one shuffle partition per core at local scale;
+        # on a real cluster this is set to 2-3x total cores (or left to AQE).
+        try:
+            shuffle_partitions = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+        except ValueError:
+            shuffle_partitions = 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
