@@ -202,15 +202,31 @@ def generate_corpus(
             team_ids = proj_team.get(proj["id"], [])
             k = min(len(team_ids), rng.randint(2, 3))
             team = [emp_by_id[i] for i in rng.sample(team_ids, k)] if k else []
-            prod = reg["products"][(pi + wave) % len(reg["products"])]
+            # fixed per-project product/policy/regulation so the proj×prod,
+            # proj×pol, pol×reg, prod×reg co-occurrence counts reach the A4
+            # thresholds across waves (entity_extractor.py:430-450)
+            prod = reg["products"][pi % len(reg["products"])]
             pol = reg["policies"][pi % len(reg["policies"])]
             regu = reg["regulations"][pi % len(reg["regulations"])]
             ext = EXTERNAL_ORGS[(pi + wave) % len(EXTERNAL_ORGS)]
             proj_ref = f"Project {proj['name']}" if rng.random() < 0.5 else proj["name"]
 
+            # stakeholders NOT assigned to the project: s1 in every wave
+            # (count=waves → WORKS_ON@0.7 when waves>=5), s2 in alternate
+            # waves (→ the @0.6 tier). No ground-truth/contradiction edge
+            # exists for them, so the J7 anti-join lets the inference through.
+            unassigned_pool = [e for e in reg["employees"] if e["id"] not in team_ids]
+            s1 = unassigned_pool[(pi * 7 + 3) % len(unassigned_pool)]
+            s2 = unassigned_pool[(pi * 11 + 5) % len(unassigned_pool)]
+            if s2["id"] == s1["id"]:
+                s2 = unassigned_pool[(pi * 11 + 6) % len(unassigned_pool)]
+
             paras = [
                 f"Status update for {proj_ref} covering delivery milestones this quarter.",
+                f"Executive sponsor {s1['full_name']} reviewed the roadmap in detail.",
             ]
+            if wave % 2 == 0:
+                paras.append(f"Budget sign-off was provided by {s2['full_name']} this cycle.")
             if team:
                 refs = [_emp_ref(e, rng) for e in team]
                 paras.append(

@@ -21,4 +21,4 @@ def spark():
 def corpus():
     from ai_knowledge_graph_builder_spark.sources.corpus import generate_corpus
 
-    return generate_corpus(seed=42, waves=3, n_emails=20, n_external=6, filler_max_words=120)
+    return generate_corpus(seed=42, waves=5, n_emails=20, n_external=6, filler_max_words=120)

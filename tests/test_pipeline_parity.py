@@ -48,8 +48,12 @@ def test_corpus_exercises_all_paths(oracle_result):
     assert (t["flagged"]).any(), "no flagged (contradiction) triples"
     preds = set(t["predicate"])
     assert "WORKS_ON" in preds and "REPORTS_TO" in preds and "OWNS" in preds
-    # at least two distinct inferred predicates
-    assert len(set(t[t["inferred"]]["predicate"])) >= 2, set(t[t["inferred"]]["predicate"])
+    # all five A4 rules fire (entity_extractor.py:430-450)
+    inferred_preds = set(t[t["inferred"]]["predicate"])
+    assert inferred_preds == {"WORKS_ON", "USES", "GOVERNED_BY", "REFERENCES", "COMPLIES_WITH"}, inferred_preds
+    # both WORKS_ON confidence tiers (>=5 → 0.7, >=3 → 0.6)
+    works_conf = set(t[t["inferred"] & (t["predicate"] == "WORKS_ON")]["confidence"])
+    assert {0.6, 0.7} <= works_conf, works_conf
 
 
 def test_mentions_parity(spark_result, oracle_result):
