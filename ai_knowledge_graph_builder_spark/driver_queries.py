@@ -1,0 +1,753 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+parquet tables (documents / embeddings / TPC-H-ish star schema). The Spark
+side and the SQL side are INDEPENDENT implementations of the same definition;
+the driver hash-compares them at sf0.01 (CORRECTNESS_r{N}.json).
+
+Float outputs are rounded to 4 decimals on BOTH sides so IEEE summation-order
+differences between engines cannot flip the value hash; every aggregate /
+computed column carries the same alias in both implementations.
+
+The KG flagship (`kg_inferred_triples`) runs the ENTIRE pipeline — pages
+synthesis from `documents`, extraction, gazetteer NER, alias linking,
+co-occurrence, rule inference — and its oracle is the same dataflow written
+as one DuckDB SQL query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.chunking import chunk_text
+from .functions.html import render_html
+from .operators.graph import assemble_triples, cooccurrence_pairs, infer_edges
+from .operators.linking import build_alias_table, resolve_mentions
+from .operators.mentions import detect_mentions
+from .plans.pipeline import _empty_edges
+
+# ---------------------------------------------------------------------------
+# Flagship: KG construction over the driver's `documents` table
+# ---------------------------------------------------------------------------
+# A gazetteer registry over the fixed 31-word testdata vocabulary. Types are
+# chosen so every A4 inference rule can fire; ids carry the load-bearing
+# prefixes (entity_extractor.py:393-394). Single-word aliases only, so the
+# SQL oracle's word-boundary regex is exactly the RuleNER gazetteer match.
+FLAGSHIP_REGISTRY = [
+    # (entity_id, entity_type, name)
+    ("emp_001", "employee", "customer"),
+    ("emp_002", "employee", "key"),
+    ("proj_001", "project", "spark"),
+    ("proj_002", "project", "stream"),
+    ("proj_003", "project", "dup"),
+    ("prod_001", "product", "table"),
+    ("prod_002", "product", "vector"),
+    ("pol_001", "policy", "filter"),
+    ("pol_002", "policy", "window"),
+    ("reg_001", "regulation", "merge"),
+    ("reg_002", "regulation", "sort"),
+]
+
+_GAZ_LABEL = {"employee": "PERSON", "project": "ORG", "product": "PRODUCT",
+              "policy": "LAW", "regulation": "LAW"}
+
+
+def flagship_registry_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        {
+            "entity_id": eid,
+            "entity_type": etype,
+            "name": name,
+            "full_name": name if etype == "employee" else None,
+            "first_name": name if etype == "employee" else None,
+            "last_name": name if etype == "employee" else None,
+            "insertion_idx": i,
+        }
+        for i, (eid, etype, name) in enumerate(FLAGSHIP_REGISTRY)
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def flagship_gazetteer() -> list[tuple[str, str]]:
+    return [(name, _GAZ_LABEL[etype]) for _, etype, name in FLAGSHIP_REGISTRY]
+
+
+def load_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages(url, warc_ts, html, text, lang): the
+    Common-Crawl-shaped input table, synthesized deterministically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = [f"doc://{i:08d}" for i in pdf["doc_id"]]
+            htmls = [render_html(f"doc {i}", t) for i, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(
+                {"url": urls, "html": htmls, "text": pdf["text"], "lang": pdf["lang"]}
+            )
+
+    pages = docs.select("doc_id", "text", "lang").mapInPandas(
+        _mk, "url string, html binary, text string, lang string"
+    )
+    return pages.withColumn("warc_ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+
+
+def kg_inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full document→triples pipeline on the driver corpus; output is the
+    inferred SPO edge set with confidences."""
+    from .operators.extraction import extract_documents
+
+    pages = load_pages(spark, sf_dir)
+    documents = extract_documents(pages)
+    # persist the NER output — the linking tree fans out from it 3 ways
+    mentions_raw = detect_mentions(documents, flagship_gazetteer()).persist()
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ext_nodes = resolve_mentions(mentions_raw, aliases)
+    cooccur = cooccurrence_pairs(mentions)
+    inferred = infer_edges(cooccur, _empty_edges(spark))
+    return inferred.select(
+        F.col("src").alias("subject_id"),
+        "predicate",
+        F.col("dst").alias("object_id"),
+        F.round("confidence", 4).alias("confidence"),
+        F.col("props")["cooccurrence_count"].cast("long").alias("cooccurrence_count"),
+    )
+
+
+def _flagship_alias_values() -> str:
+    """VALUES list of (word, eid) — every alias whose phrase can occur in the
+    lowercase corpus (single words; multi-word expansions like 'mr. x' /
+    'project x' cannot match and are provably inert)."""
+    vals = ", ".join(f"('{name}', '{eid}')" for eid, _t, name in FLAGSHIP_REGISTRY)
+    return vals
+
+
+KG_INFERRED_TRIPLES_SQL = f"""
+WITH aliases(word, eid) AS (VALUES {_flagship_alias_values()}),
+mentions AS (
+  SELECT d.doc_id, a.eid
+  FROM documents d JOIN aliases a
+    ON regexp_matches(d.text, '\\b' || a.word || '\\b')
+),
+pairs AS (
+  SELECT m1.eid AS e1, m2.eid AS e2, count(*) AS cnt
+  FROM mentions m1 JOIN mentions m2 USING (doc_id)
+  WHERE m1.eid < m2.eid
+  GROUP BY 1, 2
+),
+oriented AS (
+  SELECT e1 AS src, e2 AS dst, cnt FROM pairs WHERE cnt >= 3
+  UNION ALL
+  SELECT e2 AS src, e1 AS dst, cnt FROM pairs WHERE cnt >= 3
+),
+typed AS (
+  SELECT src, dst, cnt,
+         string_split(src, '_')[1] AS st, string_split(dst, '_')[1] AS dt
+  FROM oriented
+)
+SELECT src AS subject_id,
+       CASE WHEN st = 'emp'  AND dt = 'proj' THEN 'WORKS_ON'
+            WHEN st = 'proj' AND dt = 'prod' THEN 'USES'
+            WHEN st = 'proj' AND dt = 'pol'  THEN 'GOVERNED_BY'
+            WHEN st = 'pol'  AND dt = 'reg'  THEN 'REFERENCES'
+            WHEN st = 'prod' AND dt = 'reg'  THEN 'COMPLIES_WITH'
+       END AS predicate,
+       dst AS object_id,
+       ROUND(CASE WHEN st = 'emp' AND dt = 'proj' AND cnt >= 5 THEN 0.7
+                  WHEN st = 'emp' AND dt = 'proj' THEN 0.6
+                  WHEN st = 'proj' AND dt = 'prod' THEN 0.6
+                  ELSE 0.5 END, 4)::DOUBLE AS confidence,
+       cnt AS cooccurrence_count
+FROM typed
+WHERE predicate IS NOT NULL
+"""
+
+
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 exact-linking shape: distinct (doc, entity) gazetteer resolutions."""
+    from .operators.extraction import extract_documents
+
+    pages = load_pages(spark, sf_dir)
+    documents = extract_documents(pages)
+    mentions_raw = detect_mentions(documents, flagship_gazetteer())
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    return (
+        mentions.filter(F.col("resolution_type") == "canonical")
+        .select(
+            F.regexp_replace("url", "doc://", "").cast("long").alias("doc_id"),
+            F.col("resolved_id").alias("entity_id"),
+        )
+        .distinct()
+    )
+
+
+KG_MENTIONS_SQL = f"""
+WITH aliases(word, eid) AS (VALUES {_flagship_alias_values()})
+SELECT d.doc_id, a.eid AS entity_id
+FROM documents d JOIN aliases a
+  ON regexp_matches(d.text, '\\b' || a.word || '\\b')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-pipeline operators over `documents`
+# ---------------------------------------------------------------------------
+def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P8: word counts, wc > 0 filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", wc.alias("word_count"))
+        .filter(F.col("word_count") > 0)
+    )
+
+
+DOC_WORDCOUNT_SQL = """
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS word_count
+FROM documents
+WHERE length(trim(text)) > 0 AND len(string_split_regex(trim(text), '\\s+')) > 0
+"""
+
+
+def chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 chunking semantics (size 40 / overlap 10 to force multi-chunk docs
+    on this corpus; same arithmetic as the 500/100 production setting —
+    embedding_generator.py:208-266)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, wcs = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for c in chunk_text(text, chunk_size=40, overlap=10):
+                    ids.append(doc_id)
+                    idxs.append(c.chunk_index)
+                    starts.append(c.start_word)
+                    ends.append(c.end_word)
+                    wcs.append(c.word_count)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "chunk_index": pd.array(idxs, dtype="int64"),
+                    "start_word": pd.array(starts, dtype="int64"),
+                    "end_word": pd.array(ends, dtype="int64"),
+                    "word_count": pd.array(wcs, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _chunks,
+        "doc_id long, chunk_index long, start_word long, end_word long, word_count long",
+    )
+
+
+CHUNK_BOUNDARIES_SQL = """
+WITH wc AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n,
+         unnest(range(0, CASE WHEN n <= 40 THEN 1
+                              ELSE CAST(ceil((n - 40) / 30.0) AS BIGINT) + 1 END)) AS ci
+  FROM wc
+)
+SELECT doc_id,
+       ci AS chunk_index,
+       (ci * 30)::BIGINT AS start_word,
+       LEAST(ci * 30 + 40, n)::BIGINT AS end_word,
+       (LEAST(ci * 30 + 40, n) - ci * 30)::BIGINT AS word_count
+FROM k
+"""
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: md5-hash groupBy keeping min doc_id (training-data
+    dedup baseline; D2/D3 shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: length, mean word length, stopword ratio,
+    distinct-token ratio → composite score (training-data quality op)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
+    n_distinct = F.size(F.array_distinct(words)).cast("double")
+    mean_len = (F.length(F.regexp_replace(F.trim("text"), r"\s+", "")) / n)
+    score = (
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - n_stop / n) * 0.3
+        + (n_distinct / n) * 0.3
+    )
+    return docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(n_stop / n, 4).alias("stopword_ratio"),
+        F.round(n_distinct / n, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w, trim(text) AS tt
+  FROM documents WHERE length(trim(text)) > 0
+),
+m AS (
+  SELECT doc_id,
+         len(w)::DOUBLE AS n,
+         len(list_filter(w, x -> x IN {_STOPWORDS}))::DOUBLE AS n_stop,
+         len(list_distinct(w))::DOUBLE AS n_distinct,
+         length(regexp_replace(tt, '\\s+', '', 'g'))::DOUBLE AS n_chars_nospace
+  FROM t
+)
+SELECT doc_id,
+       n::BIGINT AS n_words,
+       ROUND(n_chars_nospace / n, 4) AS mean_word_len,
+       ROUND(n_stop / n, 4) AS stopword_ratio,
+       ROUND(n_distinct / n, 4) AS distinct_ratio,
+       ROUND(LEAST(n / 100.0, 1.0) * 0.4 + (1.0 - n_stop / n) * 0.3
+             + (n_distinct / n) * 0.3, 4) AS quality
+FROM m
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: classify via marker-token ratio and compare to
+    the labelled lang column (accuracy count per (lang, guess))."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words).cast("double")
+    n_en = F.size(F.filter(words, lambda w: w.isin("the", "a"))).cast("double")
+    guess = F.when(n_en / n >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("lang", guess.alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_ID_SQL = """
+WITH t AS (
+  SELECT lang, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT lang,
+       CASE WHEN len(list_filter(w, x -> x IN ('the', 'a')))::DOUBLE / len(w) >= 0.05
+            THEN 'en' ELSE 'other' END AS guessed,
+       count(*) AS n_docs
+FROM t GROUP BY 1, 2
+"""
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signature (32-bit, md5-nibble hyperplanes): for each
+    of 32 nibble positions of each token's md5, vote ±1; the signature bit is
+    the sign of the sum. Fully engine-portable (md5 on both sides)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    pos = hashed.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("pos")
+    )
+    bit = F.when(F.substring(F.col("h"), F.col("pos"), 1).isin(*"89abcdef"), 1).otherwise(-1)
+    votes = pos.groupBy("doc_id", "pos").agg(F.sum(bit).alias("v"))
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), 32 - F.col("pos"))).otherwise(F.lit(0.0))
+        ).cast("long").alias("simhash")
+    )
+    return sig
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents) t
+  WHERE t.tok <> ''
+),
+votes AS (
+  SELECT doc_id, p.pos,
+         SUM(CASE WHEN substr(h, p.pos, 1) IN ('8','9','a','b','c','d','e','f')
+                  THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(range(1, 33)) AS pos) p
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN pow(2, 32 - pos) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (J11/T3; ANN baseline)
+# ---------------------------------------------------------------------------
+def _cosine_expr(a, b):
+    """Exact cosine between two float arrays, computed in float64 with
+    sequential aggregation (JVM-side, whole-stage codegen — no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector
+    (rag_system.py:486-517 FAISS IndexFlatIP analog; k and ordering pinned)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.35 within vec_id < 300 (brute-force oracle
+    band for the LSH join; threshold on the ROUNDED score so both engines
+    agree at the boundary)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("v1") < F.col("v2"))
+    scored = pairs.select(
+        "v1", "v2", F.round(_cosine_expr(F.col("e1"), F.col("e2")), 4).alias("score")
+    )
+    return scored.filter(F.col("score") >= 0.35)
+
+
+COSINE_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator shapes over the star schema (J/A/D/T families)
+# ---------------------------------------------------------------------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 aggregation shape (TPC-H Q1 style): multi-aggregate groupBy with
+    partial+final hash agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/J8 shape: join + agg + window top-k (top 3 customers by revenue per
+    market segment)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    j = c.join(rev, c["c_custkey"] == rev["o_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "revenue", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT c.c_mktsegment, c.c_custkey, rev.revenue,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY rev.revenue DESC, c.c_custkey ASC) AS rank
+  FROM customer c JOIN rev ON c.c_custkey = rev.o_custkey
+)
+SELECT c_mktsegment, c_custkey, revenue, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 anti-join shape: orders with no lineitem rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def suppliers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 left_semi shape: suppliers referenced by at least one lineitem."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return s.join(
+        li.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SUPPLIERS_WITH_ORDERS_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+"""
+
+
+def events_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 shape on events: per-user distinct event types → unordered pair
+    counts across users (two-level aggregation, the co-occurrence kernel)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.select("user_id", "event_type").distinct()
+    a = per_user.alias("a")
+    b = per_user.alias("b")
+    pairs = a.join(b, "user_id").filter(F.col("a.event_type") < F.col("b.event_type"))
+    return pairs.groupBy(
+        F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+EVENTS_COOCCUR_SQL = """
+WITH pu AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS cnt
+FROM pu a JOIN pu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 first-wins dedup shape: earliest event per (user, type) by
+    (ts, event_id) — explicit arrival order, no physical-order reliance."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+FIRST_EVENT_PER_USER_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id, ROUND(value, 4) AS value FROM r WHERE rn = 1
+"""
+
+
+def last_wins_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 last-wins collision shape: per user, the latest event's type/value
+    (max_by on explicit (ts, event_id) order — dict-overwrite semantics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+        F.round(F.max_by("value", F.struct("ts", "event_id")), 4).alias("last_value"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+LAST_WINS_BY_USER_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT r.user_id, r.event_type AS last_type, ROUND(r.value, 4) AS last_value,
+       m.first_event_id
+FROM r JOIN (SELECT user_id, MIN(event_id) AS first_event_id FROM events GROUP BY 1) m
+  ON r.user_id = m.user_id
+WHERE r.rn = 1
+"""
+
+
+def order_triple_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 double-join shape: edge table (orders: custkey→orderkey) joined to
+    two node tables (customer names, nation names) — the triple assembly
+    pattern with a broadcast dimension."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return j.select(
+        F.col("c_name").alias("subject_name"),
+        F.lit("PLACED").alias("predicate"),
+        F.col("o_orderkey").alias("object_id"),
+        F.col("n_name").alias("subject_nation"),
+        F.round("o_totalprice", 2).alias("confidence_weight"),
+    )
+
+
+ORDER_TRIPLE_ASSEMBLY_SQL = """
+SELECT c.c_name AS subject_name, 'PLACED' AS predicate,
+       o.o_orderkey AS object_id, n.n_name AS subject_nation,
+       ROUND(o.o_totalprice, 2) AS confidence_weight
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def external_token_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 shape on raw tokens: frequency-gate unmatched tokens (count >=
+    n_docs/10, a scale-relative external_entity_threshold analog), with the
+    deterministic 'first seen' attribution by min(doc_id) — the
+    external-entity aggregation kernel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gaz = {name for _e, _t, name in FLAGSHIP_REGISTRY}
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter((F.col("tok") != "") & ~F.col("tok").isin(*sorted(gaz)))
+    n_docs = docs.count()
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("cnt") >= n_docs / 10.0)
+    )
+
+
+EXTERNAL_TOKEN_AGG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS cnt, min(doc_id) AS first_doc
+FROM toks
+WHERE tok <> '' AND tok NOT IN {tuple(sorted({name for _e, _t, name in FLAGSHIP_REGISTRY}))}
+GROUP BY tok HAVING count(*) >= (SELECT count(*) / 10.0 FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry of all driver queries
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "kg_inferred_triples": kg_inferred_triples,
+    "kg_mentions": kg_mentions,
+    "doc_wordcount": doc_wordcount,
+    "chunk_boundaries": chunk_boundaries,
+    "exact_dedup": exact_dedup,
+    "doc_fingerprint": doc_fingerprint,
+    "quality_score": quality_score,
+    "lang_id": lang_id,
+    "simhash": simhash,
+    "cosine_topk": cosine_topk,
+    "cosine_pairs": cosine_pairs,
+    "pricing_summary": pricing_summary,
+    "top_customers": top_customers,
+    "orders_without_lineitems": orders_without_lineitems,
+    "suppliers_with_orders": suppliers_with_orders,
+    "events_cooccur": events_cooccur,
+    "first_event_per_user": first_event_per_user,
+    "last_wins_by_user": last_wins_by_user,
+    "order_triple_assembly": order_triple_assembly,
+    "external_token_agg": external_token_agg,
+}
+
+ORACLES = {
+    "kg_inferred_triples": KG_INFERRED_TRIPLES_SQL,
+    "kg_mentions": KG_MENTIONS_SQL,
+    "doc_wordcount": DOC_WORDCOUNT_SQL,
+    "chunk_boundaries": CHUNK_BOUNDARIES_SQL,
+    "exact_dedup": EXACT_DEDUP_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "quality_score": QUALITY_SCORE_SQL,
+    "lang_id": LANG_ID_SQL,
+    "simhash": SIMHASH_SQL,
+    "cosine_topk": COSINE_TOPK_SQL,
+    "cosine_pairs": COSINE_PAIRS_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "orders_without_lineitems": ORDERS_WITHOUT_LINEITEMS_SQL,
+    "suppliers_with_orders": SUPPLIERS_WITH_ORDERS_SQL,
+    "events_cooccur": EVENTS_COOCCUR_SQL,
+    "first_event_per_user": FIRST_EVENT_PER_USER_SQL,
+    "last_wins_by_user": LAST_WINS_BY_USER_SQL,
+    "order_triple_assembly": ORDER_TRIPLE_ASSEMBLY_SQL,
+    "external_token_agg": EXTERNAL_TOKEN_AGG_SQL,
+}

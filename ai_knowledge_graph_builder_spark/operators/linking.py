@@ -139,7 +139,12 @@ def resolve_mentions(
             for r in aliases.select("alias", "entity_id", "insertion_idx").collect()
         ]
 
-    m = link_exact(mentions_raw, aliases)
+    # The resolution tree branches three ways off the exact-join result
+    # (exact / fuzzy / external); persist at the branch points so the
+    # upstream extraction+NER chain executes exactly once. MEMORY_AND_DISK
+    # spills at scale; the mentions relation is orders of magnitude smaller
+    # than the pages it came from.
+    m = link_exact(mentions_raw, aliases).persist()
     exact = m.filter(F.col("exact_id").isNotNull()).select(
         *mentions_raw.columns,
         F.col("exact_id").alias("resolved_id"),
@@ -150,7 +155,7 @@ def resolve_mentions(
 
     unresolved = m.filter(F.col("exact_id").isNull()).drop("exact_id")
     scored = score_fuzzy(unresolved.select("norm").distinct(), alias_rows)
-    u = unresolved.join(F.broadcast(scored), "norm", "left")
+    u = unresolved.join(F.broadcast(scored), "norm", "left").persist()
 
     fuzzy = u.filter(F.col("fuzzy_id").isNotNull()).select(
         *mentions_raw.columns,

@@ -40,10 +40,14 @@ def run_kg_pipeline(
     what to materialize (tests collect, the checkpointed runner writes
     committed parquet stages)."""
     documents = extract_documents(pages, doc_meta)
-    mentions_raw = detect_mentions(documents, gazetteer)
+    # persist the NER output: everything downstream (exact/fuzzy/external
+    # linking, MENTIONS table, co-occurrence) fans out from here, and the
+    # extraction+NER UDF chain is the most expensive thing to recompute
+    mentions_raw = detect_mentions(documents, gazetteer).persist()
 
     aliases = build_alias_table(registry)
     mentions, external_nodes = resolve_mentions(mentions_raw, aliases)
+    mentions = mentions.persist()
 
     nodes = registry_nodes(registry).unionByName(external_nodes)
     if doc_meta is not None:

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing uses the noop datasource sink so the full plan (including projections
+a count() would prune) executes without write overhead.
+
+--scaling runs the KG pipeline at two parallelism levels (local[8] vs
+local[32]) in fresh subprocesses and reports throughput + scaling efficiency
+(the sandbox stand-in for the N vs 4N executor criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "kg_inferred_triples",
+    "simhash",
+    "chunk_boundaries",
+    "quality_score",
+    "exact_dedup",
+    "cosine_topk",
+    "cosine_pairs",
+    "events_cooccur",
+    "pricing_summary",
+    "top_customers",
+]
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def run_bench() -> dict:
+    from ai_knowledge_graph_builder_spark.driver_queries import QUERIES
+    from ai_knowledge_graph_builder_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("kg-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / Arrow workers so per-query timings measure the plan
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(_time_query(spark, QUERIES[name], sf_dir), 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    kg_sec = timings["kg_inferred_triples"]
+    n_triples = QUERIES["kg_inferred_triples"](spark, sf_dir).count()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": kg_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": n_docs,
+        "triples": n_triples,
+        "docs_per_sec": round(n_docs / kg_sec, 1),
+        "triples_per_sec": round(n_triples / kg_sec, 2),
+        "cpus": int(cpus),
+    }
+
+
+def run_scaling() -> dict:
+    """Identical KG-pipeline job at local[8] vs local[32]; efficiency =
+    (T_8 / T_32) / (32 / 8)."""
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        r = subprocess.run(
+            [sys.executable, __file__, "--kg-only"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        out[n] = json.loads(r.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "local8_sec": t8,
+        "local32_sec": t32,
+        "local8_docs_per_sec": out[8]["docs_per_sec"],
+        "local32_docs_per_sec": out[32]["docs_per_sec"],
+        "sf": out[32]["sf"],
+    }
+
+
+def run_kg_only() -> dict:
+    from ai_knowledge_graph_builder_spark.driver_queries import QUERIES
+    from ai_knowledge_graph_builder_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("kg-bench-scaling", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm up
+    # two timed runs, keep the faster (JIT/page-cache stabilization)
+    secs = min(
+        _time_query(spark, QUERIES["kg_inferred_triples"], sf_dir) for _ in range(2)
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(secs, 3),
+        "unit": "sec",
+        "sf": sf_dir,
+        "docs_per_sec": round(n_docs / secs, 1),
+        "cpus": int(cpus),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--kg-only" in sys.argv:
+        print(json.dumps(run_kg_only()))
+    else:
+        print(json.dumps(run_bench()))

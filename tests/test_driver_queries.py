@@ -1,0 +1,58 @@
+"""Every driver query matches its DuckDB oracle at sf0.001 (row-count,
+column names, and order-insensitive value set) — a local mirror of the
+driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ai_knowledge_graph_builder_spark.driver_queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return {tuple(_norm(r[i]) for i in order) for r in rows}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    assert name in ORACLES, f"{name} has no oracle SQL"
+    res = ddb.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), (len(spark_rows), len(duck_rows))
+    assert len(spark_rows) > 0, f"{name} returned no rows — oracle check is vacuous"
+    got = _rowset(spark_cols, spark_rows)
+    want = _rowset(duck_cols, duck_rows)
+    assert got == want, (
+        f"{name}: spark-only={sorted(got - want)[:3]} oracle-only={sorted(want - got)[:3]}"
+    )
