@@ -751,3 +751,90 @@ ORACLES = {
     "order_triple_assembly": ORDER_TRIPLE_ASSEMBLY_SQL,
     "external_token_agg": EXTERNAL_TOKEN_AGG_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate detection (training-data dedup; D-family)
+# ---------------------------------------------------------------------------
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs among docs (doc_id < 100) unioned with planted
+    mutations (first word dropped, id + 100000): shingle → md5 minhash →
+    band → bucket join → exact-Jaccard verify >= 0.5. The mutation is
+    synthesized identically in the SQL oracle, so the full LSH dataflow is
+    value-checked end-to-end."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), F.trim("text").alias("text"))
+    )
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 2, 1000000)).alias("text"),
+    )
+    both = docs.unionAll(mutated).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = minhash_dedup_pairs(both, "doc_id", "text", tau=0.5, num_hashes=16, bands=4)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+MINHASH_PAIRS_SQL = """
+WITH base AS (
+  SELECT doc_id::BIGINT AS id, trim(text) AS t
+  FROM documents WHERE doc_id < 100
+),
+mut AS (
+  SELECT id + 100000 AS id,
+         array_to_string(list_slice(string_split_regex(t, '\\s+'), 2,
+                         len(string_split_regex(t, '\\s+'))), ' ') AS t
+  FROM base
+),
+allc AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+w AS (SELECT id, string_split_regex(t, '\\s+') AS w FROM allc),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM w
+),
+sig AS (
+  SELECT id, s.seed, MIN(md5(s.seed::VARCHAR || ':' || shingle)) AS minhash
+  FROM sh, (SELECT unnest(range(0, 16)) AS seed) s
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, (seed // 4)::INT AS band,
+         string_agg(minhash, '|' ORDER BY seed) AS band_sig
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.id::VARCHAR < y.id::VARCHAR
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.id = c.a
+  JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       ROUND(common / (na.n + nb.n - common), 4) AS jaccard
+FROM common c
+JOIN sizes na ON na.id = c.a
+JOIN sizes nb ON nb.id = c.b
+WHERE common / (na.n + nb.n - common) >= 0.5
+"""
+
+QUERIES["minhash_pairs"] = minhash_pairs
+ORACLES["minhash_pairs"] = MINHASH_PAIRS_SQL

@@ -1,0 +1,101 @@
+"""Training-data deduplication operators (exact, MinHash-LSH, n-gram
+Jaccard; SimHash lives in driver_queries as a portable query, embedding
+near-dup is operators/similarity.lsh_cosine_join).
+
+All hashing is md5-based (portable across Spark/DuckDB/Python) and all
+shingling is token-trigram, computed JVM-side with higher-order functions —
+no Python in the hot path.
+
+Scale notes: the MinHash pipeline is explode(shingles) × k seeds →
+partial+final min aggregation (map-side combine collapses the seed fan-out),
+band signatures via sort_array(collect_list) within (doc, band), and the
+candidate join keys on (band, sig) — bounded buckets, AQE-skew-safe. Only
+candidate pairs pay the exact-Jaccard verification join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_dedup_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(hash, keep_id, dup_count): exact dedup by full-text hash, keeping the
+    smallest id (deterministic first-wins)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle): distinct token n-grams, built JVM-side."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(id, seed, minhash): md5-string min per seed — a valid min-wise hash
+    family under lexicographic order, portable to any engine with md5."""
+    seeded = shingles.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
+    return seeded.groupBy("id", "seed").agg(F.min(h).alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Band the signature vector; candidates share any (band, band_sig)."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    sigs = banded.groupBy("id", "band").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).getField("minhash")).alias("band_sig")
+    )
+    a = sigs.select(F.col("id").alias("a"), "band", "band_sig")
+    b = sigs.select(F.col("id").alias("b"), "band", "band_sig")
+    return a.join(b, ["band", "band_sig"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def jaccard_verify(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact token-trigram Jaccard per candidate pair."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        candidates.join(shingles.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(shingles.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs with exact Jaccard >= tau among MinHash-LSH
+    candidates (shingle → minhash → band → bucket-join → verify)."""
+    sh = token_shingles(df, id_col, text_col).persist()
+    sig = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)

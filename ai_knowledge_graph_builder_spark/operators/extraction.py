@@ -31,8 +31,10 @@ def extract_documents(
     """pages(url, warc_ts, html, text, lang) → documents(url, doc_type,
     source, extracted_text, word_count, confidence, has_contradictions)."""
     src = pages.select("url", "html")
-    n = partitions or src.sparkSession.sparkContext.defaultParallelism
-    # salted repartition by url-hash (SURVEY.md §4 explicit item 1)
+    # salted repartition by url-hash (SURVEY.md §4 explicit item 1); 4x the
+    # core count so document-length variance and Python-worker scheduling
+    # jitter average out instead of convoying the stage on its slowest task
+    n = partitions or 4 * src.sparkSession.sparkContext.defaultParallelism
     src = src.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -144,7 +144,13 @@ def resolve_mentions(
     # upstream extraction+NER chain executes exactly once. MEMORY_AND_DISK
     # spills at scale; the mentions relation is orders of magnitude smaller
     # than the pages it came from.
+    #
+    # The persist MUST be materialized eagerly (count) before the branches
+    # execute: AQE materializes broadcast subtrees concurrently, and racing
+    # threads over a COLD cache each recompute the whole upstream UDF chain
+    # (observed: extraction+NER ran 3x, inverting the scaling curve).
     m = link_exact(mentions_raw, aliases).persist()
+    m.count()
     exact = m.filter(F.col("exact_id").isNotNull()).select(
         *mentions_raw.columns,
         F.col("exact_id").alias("resolved_id"),
@@ -156,6 +162,7 @@ def resolve_mentions(
     unresolved = m.filter(F.col("exact_id").isNull()).drop("exact_id")
     scored = score_fuzzy(unresolved.select("norm").distinct(), alias_rows)
     u = unresolved.join(F.broadcast(scored), "norm", "left").persist()
+    u.count()  # eager for the same concurrent-cold-cache reason as `m`
 
     fuzzy = u.filter(F.col("fuzzy_id").isNotNull()).select(
         *mentions_raw.columns,

@@ -35,6 +35,7 @@ def run_kg_pipeline(
     policies: DataFrame | None = None,
     gazetteer: list[tuple[str, str]] | None = None,
     broadcast_nodes: bool = True,
+    with_pronouns: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full flow lazily; returns the named DataFrames. Callers decide
     what to materialize (tests collect, the checkpointed runner writes
@@ -47,6 +48,14 @@ def run_kg_pipeline(
 
     aliases = build_alias_table(registry)
     mentions, external_nodes = resolve_mentions(mentions_raw, aliases)
+    if with_pronouns:
+        # north-rule extension: pronoun-to-antecedent mentions. Canonical
+        # pronoun resolutions point at entities already mentioned in the same
+        # document, so per-doc distinct entity sets — and therefore
+        # co-occurrence counts and the final triple set — are unchanged.
+        from ..operators.canonical import resolve_pronouns
+
+        mentions = mentions.unionByName(resolve_pronouns(documents, mentions))
     mentions = mentions.persist()
 
     nodes = registry_nodes(registry).unionByName(external_nodes)
@@ -82,3 +91,148 @@ def _empty_edges(spark: SparkSession) -> DataFrame:
     from ..schemas import EDGES
 
     return spark.createDataFrame([], EDGES)
+
+
+def run_kg_pipeline_checkpointed(
+    spark: SparkSession,
+    base_dir: str,
+    pages: DataFrame,
+    registry: DataFrame,
+    corpus_fingerprint: str,
+    doc_meta: DataFrame | None = None,
+    employees: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    policies: DataFrame | None = None,
+    gazetteer: list[tuple[str, str]] | None = None,
+    with_chunks: bool = False,
+    with_canonicalization: bool = False,
+) -> tuple[dict[str, DataFrame], dict[str, bool]]:
+    """The checkpointed production plan: every stage is a committed parquet
+    table under ``base_dir`` with per-partition lineage in its manifest
+    (plans/checkpoint.py); a restart skips every stage whose input
+    fingerprint still matches — the north rule's resume-from-last-committed-
+    snapshot semantics. Returns (tables, resumed_flags)."""
+    import hashlib
+
+    from ..operators.chunks import chunk_documents, embed_chunks
+    from ..operators.extraction import extract_documents
+    from ..operators.mentions import detect_mentions
+    from ..operators.linking import build_alias_table, resolve_mentions
+    from ..operators.canonical import apply_canonical_remap, cluster_external_entities
+    from ..operators.chunks import embed_texts_df
+    from .checkpoint import run_stage
+
+    def fp(*parts: str) -> str:
+        return hashlib.md5("\x00".join(parts).encode()).hexdigest()
+
+    out: dict[str, DataFrame] = {}
+    resumed: dict[str, bool] = {}
+    f_docs = fp(corpus_fingerprint, "documents")
+
+    out["documents"], resumed["documents"] = run_stage(
+        spark, f"{base_dir}/documents", "documents", f_docs,
+        lambda: extract_documents(pages, doc_meta), key_col="url",
+    )
+
+    gaz_fp = fp(f_docs, "mentions_raw", repr(sorted(gazetteer or [])))
+    out["mentions_raw"], resumed["mentions_raw"] = run_stage(
+        spark, f"{base_dir}/mentions_raw", "mentions_raw", gaz_fp,
+        lambda: detect_mentions(out["documents"], gazetteer), key_col="url",
+    )
+
+    aliases = build_alias_table(registry)
+    f_res = fp(gaz_fp, "mentions")
+
+    def _build_resolved():
+        m, ext = resolve_mentions(out["mentions_raw"], aliases)
+        out["_external_nodes_unsaved"] = ext
+        return m
+
+    out["mentions"], resumed["mentions"] = run_stage(
+        spark, f"{base_dir}/mentions", "mentions", f_res, _build_resolved, key_col="url",
+    )
+    # external nodes are derivable from the committed mentions table —
+    # rebuild them deterministically on resume instead of re-running linking
+    from pyspark.sql import functions as F
+
+    ext_nodes = (
+        out["mentions"].filter(F.col("resolution_type") == "external")
+        .groupBy("resolved_id")
+        .agg(F.min(F.lower(F.trim("text"))).alias("name"))
+        .select(
+            F.col("resolved_id").alias("id"), "name",
+            F.lit("ExternalEntity").alias("node_type"),
+            F.lit(0.4).alias("confidence"),
+            F.lit("phase7_extraction").alias("source"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        )
+    )
+
+    from ..operators.graph import (
+        assemble_triples, contradiction_edges, cooccurrence_pairs,
+        ground_truth_edges, infer_edges, registry_nodes, shadow_entities,
+    )
+
+    nodes = registry_nodes(registry).unionByName(ext_nodes)
+    if doc_meta is not None:
+        nodes = nodes.unionByName(shadow_entities(doc_meta))
+    f_nodes = fp(f_res, "nodes")
+    out["nodes"], resumed["nodes"] = run_stage(
+        spark, f"{base_dir}/nodes", "nodes", f_nodes, lambda: nodes, key_col="id",
+    )
+
+    def _build_edges():
+        base = None
+        if employees is not None and assignments is not None and policies is not None:
+            base = ground_truth_edges(employees, assignments, policies)
+        if doc_meta is not None:
+            flagged = contradiction_edges(doc_meta, registry_nodes(registry))
+            base = flagged if base is None else base.unionByName(flagged)
+        if base is None:
+            base = _empty_edges(spark)
+        cooccur = cooccurrence_pairs(out["mentions"])
+        return base.unionByName(infer_edges(cooccur, base))
+
+    f_edges = fp(f_nodes, "edges")
+    out["edges"], resumed["edges"] = run_stage(
+        spark, f"{base_dir}/edges", "edges", f_edges, _build_edges, key_col="src",
+        partition_by=["predicate"],
+    )
+
+    if with_canonicalization:
+        f_canon = fp(f_edges, "canonical")
+
+        def _build_canonical_edges():
+            name_emb = embed_texts_df(
+                out["nodes"].select("id", "name"), "name", "id", "node_name"
+            )
+            remap = cluster_external_entities(out["nodes"], name_emb)
+            return apply_canonical_remap(out["edges"], remap)
+
+        out["edges_canonical"], resumed["edges_canonical"] = run_stage(
+            spark, f"{base_dir}/edges_canonical", "edges_canonical", f_canon,
+            _build_canonical_edges, key_col="src", partition_by=["predicate"],
+        )
+
+    edges_for_triples = out.get("edges_canonical", out["edges"])
+    f_triples = fp(f_edges, "triples", str(with_canonicalization))
+    out["triples"], resumed["triples"] = run_stage(
+        spark, f"{base_dir}/triples", "triples", f_triples,
+        lambda: assemble_triples(edges_for_triples, out["nodes"]), key_col="subject_id",
+        partition_by=["predicate"],
+    )
+
+    if with_chunks:
+        f_chunks = fp(f_docs, "chunks")
+        out["chunks"], resumed["chunks"] = run_stage(
+            spark, f"{base_dir}/chunks", "chunks", f_chunks,
+            lambda: chunk_documents(out["documents"]), key_col="url",
+        )
+        f_emb = fp(f_chunks, "embeddings")
+        out["embeddings"], resumed["embeddings"] = run_stage(
+            spark, f"{base_dir}/embeddings", "embeddings", f_emb,
+            lambda: embed_chunks(out["chunks"]), key_col="item_id",
+        )
+
+    out.pop("_external_nodes_unsaved", None)
+    return out, resumed

@@ -232,6 +232,10 @@ def generate_corpus(
                 paras.append(
                     "The work led by " + " and ".join(refs)
                     + f" completed integration of {prod['name']} under the {pol['name']}."
+                    # pronoun referring back to the team (exercises the
+                    # opt-in pronoun-to-antecedent pass; inert otherwise:
+                    # sentence-initial pronouns are NER stopwords)
+                    + " They also maintained the audit trail."
                 )
             paras.append(
                 f"A compliance review against {regu['name'] if wave % 2 else regu['full_name']}"
