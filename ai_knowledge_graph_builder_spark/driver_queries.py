@@ -838,3 +838,104 @@ WHERE common / (na.n + nb.n - common) >= 0.5
 
 QUERIES["minhash_pairs"] = minhash_pairs
 ORACLES["minhash_pairs"] = MINHASH_PAIRS_SQL
+
+# ---------------------------------------------------------------------------
+# Sessionization + BPE-ish tokenization (training-data text/event ops)
+# ---------------------------------------------------------------------------
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) over the events table:
+    lag window → session boundaries → per-user session stats."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: cast via timestamp (session TZ pinned to
+    # UTC) to get the same epoch seconds DuckDB's epoch() returns
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    with_sid = with_flag.withColumn("session_n", F.sum("new_session").over(w))
+    return (
+        with_sid.groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("timestamp").cast("long"))
+             - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("duration_s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.avg("duration_s"), 4).alias("avg_session_duration_s"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_n
+  FROM g
+),
+per AS (
+  SELECT user_id, session_n, count(*) AS n_events,
+         max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       ROUND(AVG(duration_s), 4) AS avg_session_duration_s
+FROM per GROUP BY 1
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alnum runs OR single non-space symbols
+    (the GPT-2-style pre-tokenizer shape), counted per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')))::BIGINT AS n_distinct_tokens
+FROM documents
+"""
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize a deterministic mixed-modality binary
+    table, decode headers via mapInPandas, aggregate per modality. No SQL
+    oracle (binary container parsing isn't portable SQL) — the driver records
+    the weaker rows-only check; full value checks live in pytest."""
+    from .operators.multimodal import extract_media_metadata, synth_media_df
+
+    media = synth_media_df(spark, n=120)
+    meta = extract_media_metadata(media)
+    return (
+        meta.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("dim_a").alias("max_dim_a"),
+        )
+        .orderBy("modality")
+    )
+
+
+QUERIES["sessionize_events"] = sessionize_events
+ORACLES["sessionize_events"] = SESSIONIZE_EVENTS_SQL
+QUERIES["token_stats"] = token_stats
+ORACLES["token_stats"] = TOKEN_STATS_SQL
+QUERIES["media_metadata"] = media_metadata  # rows-only: no oracle entry

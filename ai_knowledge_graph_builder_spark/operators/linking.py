@@ -139,41 +139,29 @@ def resolve_mentions(
             for r in aliases.select("alias", "entity_id", "insertion_idx").collect()
         ]
 
-    # The resolution tree branches three ways off the exact-join result
-    # (exact / fuzzy / external); persist at the branch points so the
-    # upstream extraction+NER chain executes exactly once. MEMORY_AND_DISK
-    # spills at scale; the mentions relation is orders of magnitude smaller
-    # than the pages it came from.
+    # Single-pass resolution: the exact-join result `m` is persisted once;
+    # the fuzzy scores and external-entity table are BROADCAST-SIZED side
+    # outputs derived from aggregations over `m` (distinct unresolved texts,
+    # per-text counts), and the final resolved relation is ONE projection of
+    # `m` with two broadcast joins — no 3-way union, no repeated full-width
+    # serialization of the mention relation. Semantics are exactly the
+    # reference's exact → fuzzy → external cascade (entity_extractor.py:
+    # 196-263) because the cascade is per-TEXT, not per-row.
     #
-    # The persist MUST be materialized eagerly (count) before the branches
-    # execute: AQE materializes broadcast subtrees concurrently, and racing
+    # The persist MUST be materialized eagerly (count) before the broadcast
+    # subtrees execute: AQE materializes them concurrently, and racing
     # threads over a COLD cache each recompute the whole upstream UDF chain
     # (observed: extraction+NER ran 3x, inverting the scaling curve).
     m = link_exact(mentions_raw, aliases).persist()
     m.count()
-    exact = m.filter(F.col("exact_id").isNotNull()).select(
-        *mentions_raw.columns,
-        F.col("exact_id").alias("resolved_id"),
-        F.lit("exact_match").alias("resolution_method"),
-        F.lit("canonical").alias("resolution_type"),
-        F.lit(EXACT_CONFIDENCE).alias("confidence"),
-    )
 
-    unresolved = m.filter(F.col("exact_id").isNull()).drop("exact_id")
+    unresolved = m.filter(F.col("exact_id").isNull())
     scored = score_fuzzy(unresolved.select("norm").distinct(), alias_rows)
-    u = unresolved.join(F.broadcast(scored), "norm", "left").persist()
-    u.count()  # eager for the same concurrent-cold-cache reason as `m`
 
-    fuzzy = u.filter(F.col("fuzzy_id").isNotNull()).select(
-        *mentions_raw.columns,
-        F.col("fuzzy_id").alias("resolved_id"),
-        F.lit("fuzzy_match").alias("resolution_method"),
-        F.lit("canonical").alias("resolution_type"),
-        F.col("fuzzy_score").alias("confidence"),
+    # A1: external-entity aggregation over texts that miss exact AND fuzzy
+    still = unresolved.join(
+        F.broadcast(scored.filter(F.col("fuzzy_id").isNull()).select("norm")), "norm"
     )
-
-    # A1: external-entity aggregation over what's still unresolved
-    still = u.filter(F.col("fuzzy_id").isNull())
     grouped = still.groupBy("norm").agg(
         F.count(F.lit(1)).alias("mention_count"),
         F.min(F.struct("url", "mention_idx", "label")).alias("first"),
@@ -186,15 +174,28 @@ def resolve_mentions(
             F.col("first.url").alias("first_doc"),
         )
     )
-    external = still.join(F.broadcast(ext.select("norm", "ext_id")), "norm", "inner").select(
-        *mentions_raw.columns,
-        F.col("ext_id").alias("resolved_id"),
-        F.lit("external_entity").alias("resolution_method"),
-        F.lit("external").alias("resolution_type"),
-        F.lit(EXTERNAL_CONFIDENCE).alias("confidence"),
-    )
 
-    resolved = exact.unionByName(fuzzy).unionByName(external)
+    resolved = (
+        m.join(F.broadcast(scored), "norm", "left")
+        .join(F.broadcast(ext.select("norm", "ext_id")), "norm", "left")
+        .withColumn("resolved_id", F.coalesce("exact_id", "fuzzy_id", "ext_id"))
+        .filter(F.col("resolved_id").isNotNull())
+        .select(
+            *mentions_raw.columns,
+            "resolved_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact_match"))
+            .when(F.col("fuzzy_id").isNotNull(), F.lit("fuzzy_match"))
+            .otherwise(F.lit("external_entity"))
+            .alias("resolution_method"),
+            F.when(F.col("exact_id").isNull() & F.col("fuzzy_id").isNull(), F.lit("external"))
+            .otherwise(F.lit("canonical"))
+            .alias("resolution_type"),
+            F.when(F.col("exact_id").isNotNull(), F.lit(EXACT_CONFIDENCE))
+            .when(F.col("fuzzy_id").isNotNull(), F.col("fuzzy_score"))
+            .otherwise(F.lit(EXTERNAL_CONFIDENCE))
+            .alias("confidence"),
+        )
+    )
 
     external_nodes = ext.select(
         F.col("ext_id").alias("id"),

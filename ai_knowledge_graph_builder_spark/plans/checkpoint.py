@@ -47,27 +47,62 @@ def read_manifest(stage_dir: str | Path) -> dict | None:
         return None
 
 
-def compute_lineage(spark: SparkSession, stage_dir: str | Path, key_col: str | None) -> list[dict]:
-    """One lineage row per parquet file of the committed stage."""
-    df = spark.read.parquet(str(stage_dir))
-    aggs = [
-        F.count(F.lit(1)).alias("row_count"),
-        F.bit_xor(F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)])))).alias("checksum"),
-    ]
-    if key_col and key_col in df.columns:
-        aggs += [F.min(key_col).alias("min_key"), F.max(key_col).alias("max_key")]
-    rows = (
-        df.groupBy(F.input_file_name().alias("split"))
-        .agg(*aggs)
-        .collect()
-    )
+def compute_lineage(
+    spark: SparkSession, stage_dir: str | Path, key_col: str | None, full: bool = False
+) -> list[dict]:
+    """One lineage row per parquet file of the committed stage.
+
+    Default mode reads only parquet FOOTERS (pyarrow metadata): row count,
+    byte size, key-column min/max from the column statistics, and a checksum
+    over those stats — exactly the information an Iceberg manifest carries,
+    at zero scan cost. ``full=True`` additionally computes an
+    order-insensitive content hash with a real scan (integrity audits)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    stage_dir = Path(stage_dir)
     out = []
-    for r in rows:
-        d = r.asDict()
-        d["split"] = d["split"].rsplit("/", 1)[-1]
-        d["checksum"] = str(d["checksum"])
-        out.append(d)
-    return sorted(out, key=lambda d: d["split"])
+    for f in sorted(stage_dir.glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        row: dict = {"split": f.name, "row_count": md.num_rows,
+                     "byte_size": f.stat().st_size}
+        mn = mx = None
+        if key_col is not None and md.num_rows > 0:
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ci = names.get(key_col)
+            if ci is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+        row["min_key"] = _key_str(mn)
+        row["max_key"] = _key_str(mx)
+        row["checksum"] = hashlib.md5(
+            f"{f.name}:{md.num_rows}:{row['byte_size']}:{row['min_key']}:{row['max_key']}".encode()
+        ).hexdigest()
+        out.append(row)
+
+    if full:
+        df = spark.read.parquet(str(stage_dir))
+        content = (
+            df.groupBy(F.input_file_name().alias("split"))
+            .agg(F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in sorted(df.columns)]))).alias("content_hash"))
+            .collect()
+        )
+        by_split = {r["split"].rsplit("/", 1)[-1]: str(r["content_hash"]) for r in content}
+        for row in out:
+            row["content_hash"] = by_split.get(row["split"])
+    return out
+
+
+def _key_str(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return str(v)
 
 
 def write_stage(

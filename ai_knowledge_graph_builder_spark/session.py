@@ -34,7 +34,12 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # byte-size coalescing starves Arrow-UDF stages of parallelism (the
+        # NER/linking relations compress to a few MB but cost CPU per row —
+        # profiled: a 55 s stage ran on 27 tasks at 32 cores). Skew-join
+        # splitting stays on; partition counts come from our explicit salted
+        # repartitions instead.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

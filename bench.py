@@ -78,28 +78,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Identical KG-pipeline job at local[8] vs local[32]; efficiency =
-    (T_8 / T_32) / (32 / 8)."""
-    out = {}
-    for n in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
-        r = subprocess.run(
-            [sys.executable, __file__, "--kg-only"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        out[n] = json.loads(r.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
-    return {
-        "metric": "scaling_efficiency_8_to_32",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "local8_sec": t8,
-        "local32_sec": t32,
-        "local8_docs_per_sec": out[8]["docs_per_sec"],
-        "local32_docs_per_sec": out[32]["docs_per_sec"],
-        "sf": out[32]["sf"],
-    }
+    """N vs 4N executors, emulated as 1 vs 4 separate 8-core-pinned worker
+    JVMs over disjoint slices of the same input; efficiency measured on
+    marginal (steady-state) throughput. See bench_scaling.run_cluster_scaling."""
+    from ai_knowledge_graph_builder_spark.bench_scaling import run_cluster_scaling
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    return run_cluster_scaling(sf_dir=sf_dir)
 
 
 def run_kg_only() -> dict:
