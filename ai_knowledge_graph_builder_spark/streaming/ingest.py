@@ -1,0 +1,76 @@
+"""Incremental page ingestion via Structured Streaming.
+
+The reference is strictly batch (each phase a run-to-completion subprocess,
+run_pipeline.py:150-155), so streaming is NOT needed for parity (SURVEY.md
+§2.8); this module is the incremental-crawl extension a production ingest
+needs: new WARC-derived page files land in a directory, and each micro-batch
+runs the SAME extraction→NER→linking operators and appends to the mentions
+table exactly once.
+
+Design:
+- file-source ``readStream`` with the fixed PAGES schema — the source
+  tracks processed files in the checkpoint, so restarts never re-ingest
+  (exactly-once at file granularity);
+- late/duplicate crawls of the same url are dropped with
+  ``dropDuplicatesWithinWatermark`` on url over a warc_ts watermark
+  (re-crawl storms collapse; state is evicted past the watermark);
+- the per-batch work runs in ``foreachBatch`` because entity resolution
+  contains batch-only shapes (the A1 frequency gate is a global
+  aggregation); each micro-batch is internally consistent and appended
+  atomically with the stream's checkpointed epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.extraction import extract_documents
+from ..operators.linking import build_alias_table, resolve_mentions
+from ..operators.mentions import detect_mentions
+from ..schemas import PAGES
+
+
+def stream_mentions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    registry: DataFrame,
+    gazetteer: list[tuple[str, str]] | None = None,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Start (or resume) the ingestion stream; returns the StreamingQuery.
+    With ``available_now`` the query drains everything currently in
+    ``input_dir`` and stops — the incremental batch mode used in tests and
+    cron-style production runs."""
+    aliases = build_alias_table(registry)
+    alias_rows = [
+        (r["alias"], r["entity_id"], r["insertion_idx"])
+        for r in aliases.select("alias", "entity_id", "insertion_idx").collect()
+    ]
+
+    pages = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["url"])
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = extract_documents(batch_df)
+        raw = detect_mentions(docs, gazetteer).persist()
+        raw.count()
+        mentions, _ext = resolve_mentions(raw, aliases, alias_rows)
+        mentions.write.mode("append").parquet(output_dir)
+        raw.unpersist()
+
+    writer = (
+        pages.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
