@@ -12,16 +12,10 @@ import time
 
 from pyspark.sql import functions as F
 
-from .driver_queries import (
-    build_alias_table,
-    cooccurrence_pairs,
-    detect_mentions,
-    flagship_gazetteer,
-    flagship_registry_df,
-    infer_edges,
-    resolve_mentions,
-)
+from .driver_queries import flagship_gazetteer, flagship_registry_df
 from .operators.extraction import extract_documents
+from .operators.linking import build_alias_table, resolve_mentions
+from .operators.mentions import detect_mentions
 from .plans.pipeline import _empty_edges
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.chunking import chunk_text
 from .functions.html import render_html
-from .operators.graph import assemble_triples, cooccurrence_pairs, infer_edges
+from .operators.graph import cooccurrence_pairs, infer_edges
 from .operators.linking import build_alias_table, resolve_mentions
 from .operators.mentions import detect_mentions
 from .plans.pipeline import _empty_edges

@@ -34,10 +34,13 @@ def best_alias_match(
     for alias in aliases:
         lb = len(alias)
         denom = la + lb
-        if denom == 0 or 2.0 * min(la, lb) / denom < threshold:
+        if denom == 0:
+            score = 1.0  # difflib defines ratio('', '') == 1.0
+        elif 2.0 * min(la, lb) / denom < threshold:
             # cannot reach threshold; see module docstring for exactness proof
             continue
-        score = SequenceMatcher(None, mention_text, alias).ratio()
+        else:
+            score = SequenceMatcher(None, mention_text, alias).ratio()
         if score > best_score:
             best_score = score
             best = alias

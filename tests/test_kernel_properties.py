@@ -1,0 +1,64 @@
+"""Property tests for the proof-critical pure kernels.
+
+The length-band prefilter in fuzzy matching claims EXACT equivalence to the
+reference's naive argmax (operators depend on it at scale); the chunker
+claims full coverage with fixed stride. Hypothesis hunts for counterexamples.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+from hypothesis import given, settings, strategies as st
+
+from ai_knowledge_graph_builder_spark.functions.chunking import chunk_text
+from ai_knowledge_graph_builder_spark.functions.fuzzy import best_alias_match
+
+_WORD = st.text(alphabet="abcdefgh ", min_size=0, max_size=24)
+
+
+def _naive(mention: str, aliases: list[str], threshold: float):
+    """entity_extractor.py:272-283 verbatim: strict-> running max in order,
+    accept at >= threshold."""
+    best, best_score = None, 0.0
+    for a in aliases:
+        s = SequenceMatcher(None, mention, a).ratio()
+        if s > best_score:
+            best_score, best = s, a
+    if best is not None and best_score >= threshold:
+        return best, best_score
+    return None, best_score
+
+
+@settings(max_examples=300, deadline=None)
+@given(_WORD, st.lists(_WORD, min_size=1, max_size=12))
+def test_blocked_fuzzy_equals_naive(mention, aliases):
+    got_alias, got_score = best_alias_match(mention, aliases, 0.90)
+    want_alias, want_score = _naive(mention, aliases, 0.90)
+    assert got_alias == want_alias
+    if want_alias is not None:
+        assert abs(got_score - want_score) < 1e-12
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=5), max_size=60),
+       st.integers(min_value=2, max_value=20), st.integers(min_value=1, max_value=10))
+def test_chunker_invariants(words, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    text = " ".join(words)
+    chunks = chunk_text(text, chunk_size=size, overlap=overlap)
+    n = len(text.split())
+    # full coverage, fixed stride, bounded sizes, final chunk reaches the end
+    assert chunks[0].start_word == 0
+    assert chunks[-1].end_word == n
+    for c in chunks:
+        assert 0 < c.end_word - c.start_word <= size or n == 0
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.start_word == a.start_word + (size - overlap)
+        assert b.start_word < a.end_word or overlap == 0  # overlap holds
+    # chunk word lists reassemble the original word sequence
+    if n > 0:
+        allwords = text.split()
+        for c in chunks:
+            assert c.text.split() == allwords[c.start_word : c.end_word]
