@@ -47,6 +47,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # managed-table warehouse outside the repo (bucketed graph tables)
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kg-spark-warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
