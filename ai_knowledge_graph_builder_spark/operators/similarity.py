@@ -148,3 +148,55 @@ def cosine_topk_join(
         scored = scored.filter(F.col("score") >= min_score)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(item_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_join(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    item_id: str = "item_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a seeded KMeans coarse quantizer assigns every item to
+    a cell; each query probes only its ``n_probe`` nearest cells and runs the
+    exact cosine top-k inside them. The cluster-pruned analog of a FAISS
+    IVFFlat index (the reference uses exact IndexFlatIP at 59 docs;
+    embedding_generator.py:319-327 — this is the 10^12-scale path).
+
+    Recall < 1 by construction (tunable via n_probe); scoring is exact within
+    probed cells. The centroid table is broadcast-sized (n_cells rows)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    it = items.select(F.col(item_id), F.col(vec_col)).withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(it)
+    assigned = model.transform(it).select(item_id, vec_col, "cell")
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = items.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+    # rank cells per query by centroid cosine; keep n_probe
+    from pyspark.sql import Window
+
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        query_id, "qv", "cell",
+        _cosine_pairs_udf("qv", "centroid").alias("cell_score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cell_score"), F.asc("cell"))
+    probed = qc.withColumn("crank", F.row_number().over(w)).filter(F.col("crank") <= n_probe)
+
+    cand = probed.select(query_id, "qv", "cell").join(assigned, "cell")
+    scored = cand.select(
+        query_id, item_id, _cosine_pairs_udf(vec_col, "qv").alias("score")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(item_id))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -63,9 +63,10 @@ def compute_lineage(
 
     stage_dir = Path(stage_dir)
     out = []
-    for f in sorted(stage_dir.glob("*.parquet")):
+    # rglob: partitioned stages (partitionBy) nest files under key=value dirs
+    for f in sorted(stage_dir.rglob("*.parquet")):
         md = pq.ParquetFile(f).metadata
-        row: dict = {"split": f.name, "row_count": md.num_rows,
+        row: dict = {"split": str(f.relative_to(stage_dir)), "row_count": md.num_rows,
                      "byte_size": f.stat().st_size}
         mn = mx = None
         if key_col is not None and md.num_rows > 0:
@@ -80,7 +81,7 @@ def compute_lineage(
         row["min_key"] = _key_str(mn)
         row["max_key"] = _key_str(mx)
         row["checksum"] = hashlib.md5(
-            f"{f.name}:{md.num_rows}:{row['byte_size']}:{row['min_key']}:{row['max_key']}".encode()
+            f"{row['split']}:{md.num_rows}:{row['byte_size']}:{row['min_key']}:{row['max_key']}".encode()
         ).hexdigest()
         out.append(row)
 
@@ -144,16 +145,34 @@ def run_stage(
     build,
     key_col: str | None = None,
     partition_by: list[str] | None = None,
+    verify_integrity: bool = False,
 ) -> tuple[DataFrame, bool]:
     """Resume-or-build. Returns (df, resumed). A stage is skipped iff its
-    committed manifest matches (stage, version, input_fingerprint)."""
+    committed manifest matches (stage, version, input_fingerprint) — and,
+    with ``verify_integrity``, iff its files still match the manifest's
+    footer stats (corruption → rebuild instead of trusting the snapshot)."""
     m = read_manifest(stage_dir)
     if (
         m is not None
         and m.get("stage") == stage
         and m.get("version") == STAGE_VERSION
         and m.get("input_fingerprint") == input_fingerprint
+        and (not verify_integrity or verify_stage_integrity(spark, stage_dir))
     ):
         return spark.read.parquet(str(stage_dir)), True
     df = build()
     return write_stage(spark, df, stage_dir, stage, input_fingerprint, key_col, partition_by), False
+
+
+def verify_stage_integrity(spark: SparkSession, stage_dir: str | Path) -> bool:
+    """Compare the stage's CURRENT parquet footers against its committed
+    manifest lineage — detects truncated/removed/extra files after a crash
+    or partial cleanup. Cheap: footers only, no data scan."""
+    m = read_manifest(stage_dir)
+    if m is None:
+        return False
+    current = compute_lineage(spark, stage_dir, key_col=None)
+    # compare per-split row counts and byte sizes (key-independent fields)
+    want = {(r["split"], r["row_count"], r["byte_size"]) for r in m["lineage"]}
+    got = {(r["split"], r["row_count"], r["byte_size"]) for r in current}
+    return want == got

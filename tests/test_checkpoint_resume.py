@@ -93,3 +93,29 @@ def test_checkpointed_matches_in_memory(spark, spark_dfs, corpus, tmp_path):
     want = {(r["subject_name"], r["predicate"], r["object_name"])
             for r in run_oracle(corpus, RuleNER())["triples"].to_dict("records")}
     assert got == want
+
+
+def test_integrity_check_detects_corruption(spark, tmp_path):
+    from ai_knowledge_graph_builder_spark.plans.checkpoint import verify_stage_integrity
+
+    d = tmp_path / "s"
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(1000).withColumnRenamed("id", "k")
+
+    run_stage(spark, d, "s", "fp", build, key_col="k")
+    assert verify_stage_integrity(spark, d)
+
+    # corrupt: drop one data file (simulates partial loss after commit)
+    victim = sorted(d.glob("*.parquet"))[0]
+    victim.unlink()
+    assert not verify_stage_integrity(spark, d)
+
+    # plain resume would trust the snapshot; verify_integrity rebuilds
+    _, resumed = run_stage(spark, d, "s", "fp", build, key_col="k")
+    assert resumed and calls["n"] == 1
+    df, resumed2 = run_stage(spark, d, "s", "fp", build, key_col="k", verify_integrity=True)
+    assert not resumed2 and calls["n"] == 2 and df.count() == 1000
+    assert verify_stage_integrity(spark, d)

@@ -76,3 +76,25 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert hit >= 0.9, f"planted near-dup recall {hit:.2f}"
     # every reported pair really has jaccard >= 0.5
     assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_ivf_topk_recall(spark):
+    from ai_knowledge_graph_builder_spark.operators.similarity import ivf_topk_join
+
+    emb = _emb(spark).persist()
+    q = emb.filter(F.col("item_id").isin("0", "1", "2")).select(
+        F.col("item_id").alias("query_id"), "embedding"
+    )
+    items = emb
+    exact = cosine_topk_join(items, q, k=10)
+    approx = ivf_topk_join(items, q, k=10, n_cells=8, n_probe=4)
+    ex = {(r["query_id"], r["item_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["item_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"IVF recall {recall:.2f}"
+    # scores inside probed cells are exact
+    ex_scores = {(r["query_id"], r["item_id"]): r["score"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["item_id"])
+        if key in ex_scores:
+            assert abs(r["score"] - ex_scores[key]) < 1e-9
