@@ -106,6 +106,7 @@ def run_kg_pipeline_checkpointed(
     gazetteer: list[tuple[str, str]] | None = None,
     with_chunks: bool = False,
     with_canonicalization: bool = False,
+    verify_integrity: bool = False,
 ) -> tuple[dict[str, DataFrame], dict[str, bool]]:
     """The checkpointed production plan: every stage is a committed parquet
     table under ``base_dir`` with per-partition lineage in its manifest
@@ -120,7 +121,10 @@ def run_kg_pipeline_checkpointed(
     from ..operators.linking import build_alias_table, resolve_mentions
     from ..operators.canonical import apply_canonical_remap, cluster_external_entities
     from ..operators.chunks import embed_texts_df
-    from .checkpoint import run_stage
+    from .checkpoint import run_stage as _run_stage
+
+    def run_stage(*a, **kw):
+        return _run_stage(*a, verify_integrity=verify_integrity, **kw)
 
     def fp(*parts: str) -> str:
         return hashlib.md5("\x00".join(parts).encode()).hexdigest()
