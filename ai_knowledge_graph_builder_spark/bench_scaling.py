@@ -159,7 +159,7 @@ def _base_docs(sf_dir: str) -> int:
 
 
 def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
-                        reps_small: int = 64, reps_big: int = 320) -> dict:
+                        sizes: tuple[int, ...] = (64, 160, 320)) -> dict:
     """The N vs 4N executor criterion, emulated honestly: 1 vs 4 SEPARATE
     8-core-pinned worker JVMs (own GC / scheduler / Python daemons — what
     cluster executors actually are) over disjoint slices of the same input.
@@ -192,20 +192,26 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
         n_docs = reps_total * _base_docs(sf_dir)
         return _t.perf_counter() - t0, n_docs
 
-    res: dict = {"sf_dir": sf_dir, "method": "marginal throughput, 1 vs 4 pinned 8-core worker JVMs"}
+    res: dict = {"sf_dir": sf_dir,
+                 "method": "least-squares marginal throughput over sizes, 1 vs 4 pinned 8-core worker JVMs"}
     for nw in (1, 4):
-        # min-of-2 at BOTH sizes: this VM shows hypervisor-noise swings of
-        # up to 50% wall time; min is the least-interfered measurement. Both
-        # sizes are large enough that per-session fixed cost is a small
-        # fraction, and the difference cancels it exactly.
-        t_small, n_small = workers(nw, reps_small)
-        t_small = min(t_small, workers(nw, reps_small)[0])
-        t_big, n_big = workers(nw, reps_big)
-        t_big = min(t_big, workers(nw, reps_big)[0])
-        marg = (n_big - n_small) / max(t_big - t_small, 1e-9)
+        # min-of-2 per size (hypervisor-noise swings up to 50%), then a
+        # least-squares fit T = F + n/rate across all sizes — far more
+        # robust than a two-point difference, which a single noisy point
+        # can drive super-linear or negative.
+        pts = []
+        for reps in sizes:
+            t1, n = workers(nw, reps)
+            t2, _ = workers(nw, reps)
+            pts.append((n, min(t1, t2)))
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum((x - mx) ** 2 for x in xs)
+        marg = 1.0 / max(slope, 1e-12)
         res[f"workers_{nw}"] = {
-            "t_small_s": round(t_small, 1), "t_big_s": round(t_big, 1),
-            "n_small": n_small, "n_big": n_big,
+            "points": [{"docs": x, "sec": round(y, 1)} for x, y in pts],
+            "fixed_cost_s": round(my - slope * mx, 1),
             "marginal_docs_per_sec": round(marg, 1),
         }
     eff = res["workers_4"]["marginal_docs_per_sec"] / (4 * res["workers_1"]["marginal_docs_per_sec"])

@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 Timing uses the noop datasource sink so the full plan (including projections
 a count() would prune) executes without write overhead.
 
---scaling runs the KG pipeline at two parallelism levels (local[8] vs
-local[32]) in fresh subprocesses and reports throughput + scaling efficiency
-(the sandbox stand-in for the N vs 4N executor criterion in BASELINE.json).
+--scaling emulates N vs 4N executors as 1 vs 4 separate pinned 8-core
+worker JVMs over disjoint slices of the same input, and reports
+least-squares marginal throughput + scaling efficiency (the sandbox
+stand-in for the BASELINE.json two-cluster-size criterion; see BENCH.md).
 """
 
 from __future__ import annotations
