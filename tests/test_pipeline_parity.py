@@ -105,3 +105,24 @@ def test_external_entities_respect_threshold(oracle_result):
     ext = ext[ext["resolution_type"] == "external"]
     counts = ext.groupby(ext["text"].str.lower().str.strip()).size()
     assert (counts >= 2).all()
+
+
+def test_parity_at_larger_scale(spark):
+    """P/R stability: exact SPO parity holds on a 3x corpus (different rng
+    draws, more co-occurrence density, more fuzzy/external collisions)."""
+    from ai_knowledge_graph_builder_spark.sources.corpus import generate_corpus
+
+    big = generate_corpus(seed=7, waves=10, n_emails=40, n_external=10,
+                          filler_max_words=80)
+    dfs = {k: spark.createDataFrame(big[k]) for k in
+           ["pages", "doc_meta", "registry", "employees", "assignments", "policies"]}
+    out = run_kg_pipeline(spark, dfs["pages"], dfs["registry"], dfs["doc_meta"],
+                          dfs["employees"], dfs["assignments"], dfs["policies"])
+    got = {(r["subject_name"], r["predicate"], r["object_name"])
+           for r in out["triples"].collect()}
+    want = {(r["subject_name"], r["predicate"], r["object_name"])
+            for r in run_oracle(big, RuleNER())["triples"].to_dict("records")}
+    tp = len(got & want)
+    assert got and tp / len(got) == 1.0 and tp / len(want) == 1.0, (
+        len(got), len(want), sorted(got ^ want)[:4]
+    )
