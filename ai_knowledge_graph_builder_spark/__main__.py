@@ -27,13 +27,38 @@ import sys
 import time
 
 
+def _stat_fingerprint(*paths: str) -> str:
+    """Fingerprint of local/posix input dirs from file stats (relpath, size,
+    mtime) — cheap, content-sensitive enough for resume gating. Non-local
+    URIs (s3:// etc.) fall back to the URI string; pass --fingerprint
+    explicitly there (e.g. the Iceberg snapshot id)."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.md5()
+    for p in paths:
+        root = Path(p)
+        if not root.exists():
+            h.update(p.encode())
+            continue
+        files = sorted(root.rglob("*")) if root.is_dir() else [root]
+        for f in files:
+            if f.is_file():
+                st = f.stat()
+                h.update(f"{f.relative_to(root)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ai_knowledge_graph_builder_spark")
     ap.add_argument("--pages", help="pages parquet dir (url, warc_ts, html, text, lang)")
     ap.add_argument("--registry", help="registry parquet dir (REGISTRY schema)")
     ap.add_argument("--output", required=True, help="base dir for committed stage tables")
     ap.add_argument("--fingerprint", default=None,
-                    help="input fingerprint for resume gating (default: pages path)")
+                    help="input fingerprint for resume gating (default: a hash "
+                         "of the input files' names/sizes/mtimes — NOT the bare "
+                         "path, so replacing the data behind the same path "
+                         "invalidates old snapshots)")
     ap.add_argument("--demo", action="store_true",
                     help="synthesize the seeded demo corpus (no --pages/--registry needed)")
     ap.add_argument("--demo-waves", type=int, default=5)
@@ -68,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--pages and --registry required unless --demo")
         pages = spark.read.parquet(args.pages)
         registry = spark.read.parquet(args.registry)
-        fingerprint = args.fingerprint or args.pages
+        fingerprint = args.fingerprint or _stat_fingerprint(args.pages, args.registry)
 
     if args.gazetteer_from_registry:
         from ai_knowledge_graph_builder_spark.operators.linking import build_alias_table

@@ -117,6 +117,142 @@ def kg_inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J3 fuzzy linking + A1 external-entity creation under driver-oracle coverage
+# ---------------------------------------------------------------------------
+# registry words long enough that a single-char deletion stays a word; the
+# len>=6 mutations clear the 0.90 difflib threshold, the len-5 ones fail it
+# and fall through to the A1 external path — both branches value-checked.
+FUZZY_WORDS = tuple(n for _e, _t, n in FLAGSHIP_REGISTRY if len(n) >= 5)
+
+
+def kg_fuzzy_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + A1 through the REAL resolve_mentions operator: every corpus
+    occurrence of a long registry word becomes a near-miss mention (3rd char
+    dropped), then exact linking misses, fuzzy scoring resolves the len>=6
+    forms at ratio >= 0.90 (first-max argmax over the alias dict in key
+    order), and the len-5 forms (ratio < 0.90) fall through to frequency-
+    gated ExternalEntity creation with deterministic ids."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok")
+    ).filter(F.col("tok").isin(*FUZZY_WORDS))
+    label_map = F.create_map(
+        *[x for eid, et, n in FLAGSHIP_REGISTRY for x in (F.lit(n), F.lit(_GAZ_LABEL[et]))]
+    )
+    mraw = toks.select(
+        F.format_string("doc://%08d", "doc_id").alias("url"),
+        F.lit(None).cast("string").alias("doc_type"),
+        F.col("pos").cast("int").alias("mention_idx"),
+        F.concat(F.substring("tok", 1, 2), F.expr("substring(tok, 4)")).alias("text"),
+        label_map[F.col("tok")].alias("label"),
+        F.col("pos").cast("int").alias("start"),
+        F.col("pos").cast("int").alias("end"),
+    )
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    resolved, _ext_nodes = resolve_mentions(mraw, aliases)
+    return resolved.groupBy(F.col("text").alias("mention_text")).agg(
+        F.max("resolved_id").alias("resolved_id"),
+        F.max("resolution_method").alias("resolution_method"),
+        F.round(F.max("confidence"), 4).alias("confidence"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+
+
+# The expected (mutation → id, score) rows below are derived from the PURE
+# difflib kernel (functions/fuzzy.best_alias_match over the alias dict in
+# key order) and functions/hashing.external_entity_id — the same public
+# definitions the pipeline implements, evaluated independently of Spark:
+#   cutomer→customer 0.9333, steam→stream 0.9091, vetor→vector 0.9091,
+#   fiter→filter 0.9091, widow→window 0.9091;
+#   sprk/tale/mege score < 0.90 → external ids md5("…")-derived.
+KG_FUZZY_LINKING_SQL = """
+WITH expected(mention_text, resolved_id, resolution_method, confidence) AS (VALUES
+  ('cutomer', 'emp_001',           'fuzzy_match',     0.93),
+  ('steam',   'proj_002',          'fuzzy_match',     0.91),
+  ('vetor',   'prod_002',          'fuzzy_match',     0.91),
+  ('fiter',   'pol_001',           'fuzzy_match',     0.91),
+  ('widow',   'pol_002',           'fuzzy_match',     0.91),
+  ('sprk',    'ext_org_33129',     'external_entity', 0.4),
+  ('tale',    'ext_product_72784', 'external_entity', 0.4),
+  ('mege',    'ext_law_40684',     'external_entity', 0.4)
+),
+toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+),
+mut AS (
+  SELECT substr(tok, 1, 2) || substr(tok, 4) AS mention_text, count(*) AS n
+  FROM toks
+  WHERE tok IN ('customer', 'spark', 'stream', 'table', 'vector', 'filter', 'window', 'merge')
+  GROUP BY 1
+)
+SELECT m.mention_text, e.resolved_id, e.resolution_method,
+       ROUND(e.confidence, 4)::DOUBLE AS confidence, m.n AS n_mentions
+FROM mut m JOIN expected e USING (mention_text)
+WHERE e.resolution_method <> 'external_entity' OR m.n >= 2
+"""
+
+
+# in-vocabulary words that are NOT registry aliases and whose best difflib
+# ratio against every alias is < 0.90 (max observed 0.44) — guaranteed to
+# miss exact AND fuzzy and exercise only the external path
+EXTERNAL_GAZ_WORDS = ("batch", "hash", "join", "scan")
+
+
+def kg_external_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 external-entity creation end-to-end through the real pipeline:
+    extraction → gazetteer NER (extended with four non-registry words) →
+    exact/fuzzy miss → frequency gate (>= 2 mentions) → deterministic
+    ExternalEntity ids with first-doc attribution by (url, mention_idx)
+    arrival order (entity_extractor.py:196-263, 283-308)."""
+    from .operators.extraction import extract_documents
+
+    pages = load_pages(spark, sf_dir)
+    documents = extract_documents(pages)
+    gaz = flagship_gazetteer() + [(w, "ORG") for w in EXTERNAL_GAZ_WORDS]
+    mentions_raw = detect_mentions(documents, gaz)
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    resolved, ext_nodes = resolve_mentions(mentions_raw, aliases)
+    ext = resolved.filter(F.col("resolution_type") == "external")
+    return (
+        ext.groupBy(F.col("resolved_id").alias("entity_id"))
+        .agg(
+            F.min(F.lower(F.trim("text"))).alias("name"),
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.min("url").alias("first_url"),
+        )
+        .select(
+            "name", "entity_id", "n_mentions",
+            F.regexp_replace("first_url", "doc://", "").cast("long").alias("first_doc_id"),
+        )
+    )
+
+
+KG_EXTERNAL_ENTITIES_SQL = """
+WITH ext(name, entity_id) AS (VALUES
+  ('batch', 'ext_org_95162'),
+  ('hash',  'ext_org_29742'),
+  ('join',  'ext_org_19283'),
+  ('scan',  'ext_org_95467')
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT tok AS name, count(*) AS n_mentions, min(doc_id) AS first_doc_id
+  FROM toks
+  WHERE tok IN ('batch', 'hash', 'join', 'scan')
+  GROUP BY 1
+)
+SELECT e.name, e.entity_id, a.n_mentions, a.first_doc_id
+FROM agg a JOIN ext e USING (name)
+WHERE a.n_mentions >= 2
+"""
+
+
 def _flagship_alias_values() -> str:
     """VALUES list of (word, eid) — every alias whose phrase can occur in the
     lowercase corpus (single words; multi-word expansions like 'mr. x' /
@@ -381,23 +517,49 @@ FROM t GROUP BY 1, 2
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document signature (32-bit, md5-nibble hyperplanes): for each
     of 32 nibble positions of each token's md5, vote ±1; the signature bit is
-    the sign of the sum. Fully engine-portable (md5 on both sides)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-    ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
-    pos = hashed.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("pos")
+    the sign of the sum. Fully engine-portable (md5 on both sides).
+
+    Plan: everything happens inside ONE projection per row — the token array
+    is folded into a 32-element vote accumulator with `aggregate`/`zip_with`
+    higher-order functions, then the vote signs are folded into the signature.
+    No explode, no groupBy, zero shuffle: the signature of a doc never leaves
+    the task that scanned it (the previous formulation exploded 32 rows per
+    TOKEN and shuffled them — a scale-killer at 100 TB token counts; that
+    formulation survives as the DuckDB oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # the test parquet is one tiny file → one scan split; spread the signature
+    # compute across cores. At production scale the scan has thousands of
+    # splits and this round-robin repartition of (id, text) is a no-op to
+    # remove — it is NOT part of the algorithm (which is shuffle-free).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    hashes = F.transform(toks, lambda w: F.md5(w))
+    # fold tokens → 32 vote counters (±1 per md5 nibble high-bit)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                # nibble high bit ⟺ hex char ∈ {8..9, a..f} ⟺ char >= '8'
+                # (ASCII '0'<'9'<'a'<'f') — one comparison, not an 8-way isin
+                lambda p: F.when(h.substr(p, F.lit(1)) >= "8", 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
     )
-    bit = F.when(F.substring(F.col("h"), F.col("pos"), 1).isin(*"89abcdef"), 1).otherwise(-1)
-    votes = pos.groupBy("doc_id", "pos").agg(F.sum(bit).alias("v"))
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), 32 - F.col("pos"))).otherwise(F.lit(0.0))
-        ).cast("long").alias("simhash")
-    )
-    return sig
+    # fold vote signs → the 32-bit signature (pos 1 = MSB, as the oracle)
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda v, p: F.when(v > 0, F.pow(F.lit(2.0), F.lit(32) - p)).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return docs.filter(F.size(toks) > 0).select("doc_id", sig.alias("simhash"))
 
 
 SIMHASH_SQL = """
@@ -709,6 +871,8 @@ GROUP BY tok HAVING count(*) >= (SELECT count(*) / 10.0 FROM documents)
 QUERIES = {
     "kg_inferred_triples": kg_inferred_triples,
     "kg_mentions": kg_mentions,
+    "kg_fuzzy_linking": kg_fuzzy_linking,
+    "kg_external_entities": kg_external_entities,
     "doc_wordcount": doc_wordcount,
     "chunk_boundaries": chunk_boundaries,
     "exact_dedup": exact_dedup,
@@ -732,6 +896,8 @@ QUERIES = {
 ORACLES = {
     "kg_inferred_triples": KG_INFERRED_TRIPLES_SQL,
     "kg_mentions": KG_MENTIONS_SQL,
+    "kg_fuzzy_linking": KG_FUZZY_LINKING_SQL,
+    "kg_external_entities": KG_EXTERNAL_ENTITIES_SQL,
     "doc_wordcount": DOC_WORDCOUNT_SQL,
     "chunk_boundaries": CHUNK_BOUNDARIES_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
@@ -915,13 +1081,32 @@ FROM documents
 
 
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: synthesize a deterministic mixed-modality binary
-    table, decode headers via mapInPandas, aggregate per modality. No SQL
-    oracle (binary container parsing isn't portable SQL) — the driver records
-    the weaker rows-only check; full value checks live in pytest."""
-    from .operators.multimodal import extract_media_metadata, synth_media_df
+    """Multimodal plumbing with a REAL value oracle: each doc_id < 120 gets a
+    deterministic KGB1 blob whose modality/dims are pure arithmetic on
+    doc_id; the blob is ENCODED then header-DECODED through the real binary
+    column + Arrow-batch path (operators/multimodal.py), and the per-modality
+    aggregate of the *decoded* fields is compared against DuckDB recomputing
+    the same aggregate from the doc_id arithmetic alone. A wrong byte in
+    encode or a misparsed header flips the value hash. Content digests
+    (non-SQL-portable) stay in pytest."""
+    from .operators.multimodal import encode_payload, extract_media_metadata
 
-    media = synth_media_df(spark, n=120)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    ).select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                modality = ("image", "audio", "video")[i % 3]
+                a, b, c = 64 + (i % 5) * 32, 48 + (i % 7) * 16, 4 + i % 9
+                ids.append(f"m{i:06d}")
+                blobs.append(encode_payload(modality, a, b, c, seed="kg"))
+            yield pd.DataFrame({"item_id": ids, "payload": blobs})
+
+    media = docs.mapInPandas(_mk, "item_id string, payload binary")
     meta = extract_media_metadata(media)
     return (
         meta.groupBy("modality")
@@ -929,13 +1114,31 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.sum("n_bytes").alias("total_bytes"),
             F.max("dim_a").alias("max_dim_a"),
+            F.sum("dim_b").alias("sum_dim_b"),
+            F.sum("dim_c").alias("sum_dim_c"),
         )
         .orderBy("modality")
     )
+
+
+# blob size is fixed by the KGB1 container: 17-byte header + 128-byte body
+MEDIA_METADATA_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       COUNT(*) AS n_items,
+       SUM(145)::BIGINT AS total_bytes,
+       MAX(64 + (doc_id % 5) * 32)::INT AS max_dim_a,
+       SUM(48 + (doc_id % 7) * 16)::BIGINT AS sum_dim_b,
+       SUM(4 + doc_id % 9)::BIGINT AS sum_dim_c
+FROM documents
+WHERE doc_id < 120
+GROUP BY 1
+ORDER BY 1
+"""
 
 
 QUERIES["sessionize_events"] = sessionize_events
 ORACLES["sessionize_events"] = SESSIONIZE_EVENTS_SQL
 QUERIES["token_stats"] = token_stats
 ORACLES["token_stats"] = TOKEN_STATS_SQL
-QUERIES["media_metadata"] = media_metadata  # rows-only: no oracle entry
+QUERIES["media_metadata"] = media_metadata
+ORACLES["media_metadata"] = MEDIA_METADATA_SQL

@@ -141,18 +141,26 @@ def resolve_pronouns(documents: DataFrame, mentions_resolved: DataFrame) -> Data
     Emitted with resolution_method='pronoun_antecedent', confidence 0.5;
     mention_idx continues after the document's last NER mention."""
     docs = documents.filter(F.col("word_count") > 0).select("url", "doc_type", "extracted_text")
-    persons = mentions_resolved.filter(
-        (F.col("label") == "PERSON") & (F.col("resolution_type") == "canonical")
-    ).select("url", "start", "resolved_id", "mention_idx")
+    # ALL of the document's mentions ride into the cogroup: base_idx must
+    # continue after the url's last mention of ANY label, else a doc whose
+    # later mentions are ORG/LAW/PRODUCT would emit pronoun rows colliding
+    # with existing (url, mention_idx) keys — the global arrival-order key
+    # (schemas.py MENTIONS_RAW) that first-wins semantics depend on.
+    ments = mentions_resolved.select(
+        "url", "start", "resolved_id", "mention_idx", "label", "resolution_type"
+    )
 
-    def _resolve(docs_pdf: pd.DataFrame, pers_pdf: pd.DataFrame) -> pd.DataFrame:
+    def _resolve(docs_pdf: pd.DataFrame, ments_pdf: pd.DataFrame) -> pd.DataFrame:
         rows: dict[str, list] = {k: [] for k in (
             "url", "doc_type", "mention_idx", "text", "label", "start", "end",
             "resolved_id", "resolution_method", "resolution_type", "confidence")}
         if len(docs_pdf) == 0:
             return pd.DataFrame(rows)
+        pers_pdf = ments_pdf[
+            (ments_pdf["label"] == "PERSON") & (ments_pdf["resolution_type"] == "canonical")
+        ]
         pers_sorted = pers_pdf.sort_values("start")
-        base_idx = int(pers_pdf["mention_idx"].max()) + 1 if len(pers_pdf) else 0
+        base_idx = int(ments_pdf["mention_idx"].max()) + 1 if len(ments_pdf) else 0
         for _, doc in docs_pdf.iterrows():
             url, text = doc["url"], doc["extracted_text"]
             p = pers_sorted[pers_sorted["url"] == url]
@@ -185,6 +193,6 @@ def resolve_pronouns(documents: DataFrame, mentions_resolved: DataFrame) -> Data
 
     return (
         docs.groupBy("url")
-        .cogroup(persons.groupBy("url"))
+        .cogroup(ments.groupBy("url"))
         .applyInPandas(_resolve, PRONOUN_SCHEMA)
     )

@@ -20,7 +20,7 @@ skew splitting (head entities — SURVEY.md §7.4 risk 7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 COOCCUR_THRESHOLD = 3  # config/pipeline.yaml:60
 EXCLUDED_PREDICATES = ("MENTIONS", "SENT", "SENT_TO")  # entity_extractor.py:459
@@ -165,8 +165,14 @@ def contradiction_edges(doc_meta: DataFrame, nodes: DataFrame) -> DataFrame:
 
 def shadow_entities(doc_meta: DataFrame) -> DataFrame:
     """D4: one ShadowEntity per unique name from product_mention /
-    policy_reference contradictions (neo4j_loader.py:392-414); ids numbered by
-    first appearance in document order."""
+    policy_reference contradictions (neo4j_loader.py:392-414).
+
+    Ids are content-derived (md5 of the name, like P10 external-entity ids)
+    instead of the reference's arrival-order counter: the counter needs a
+    global total order (a partitionBy-less window = every shadow name through
+    ONE partition), while a stable hash is embarrassingly parallel and gives
+    the same id on any cluster size, any run — the property that actually
+    matters for resumable 100 TB runs."""
     c = doc_meta.select("url", F.explode(F.coalesce("contradictions", F.array())).alias("c"))
     c = c.filter(F.col("c.type").isin("product_mention", "policy_reference"))
     named = c.select(
@@ -177,9 +183,16 @@ def shadow_entities(doc_meta: DataFrame) -> DataFrame:
     firsts = named.groupBy("name").agg(
         F.min("url").alias("first_url"), F.first("stype").alias("stype")
     )
-    w = Window.orderBy("first_url", "name")
+    # shadow_<md5-derived 5 digits>: same derivation as functions/hashing.py
+    # stable_hash64 (first 8 md5 bytes, big-endian) % 100000, expressed
+    # JVM-side so no Python round-trip is paid for it
+    sid = F.format_string(
+        "shadow_%05d",
+        F.pmod(F.conv(F.substring(F.md5("name"), 1, 16), 16, 10).cast("decimal(20,0)"),
+               F.lit(100000)).cast("long"),
+    )
     return firsts.select(
-        F.format_string("shadow_%03d", F.row_number().over(w)).alias("id"),
+        sid.alias("id"),
         "name",
         F.lit("ShadowEntity").alias("node_type"),
         F.lit(0.3).alias("confidence"),

@@ -32,7 +32,19 @@ def salted_equi_join(
     """Join ``large`` ⋈ ``small`` on ``key`` with the hot-key salting
     pattern. ``spread_col`` (default: a stable hash of all large columns)
     decides which salt bucket each large row lands in — deterministic, so
-    results are reproducible run to run."""
+    results are reproducible run to run.
+
+    Only ``how`` in {'inner', 'left'} is accepted: those are exactly
+    equivalent to the plain equi-join (every large row meets every matching
+    small row once; an unmatched large row survives a left join once because
+    it carries exactly one salt). right/full/semi/anti are NOT equivalent —
+    the salt-exploded small side would emit each unmatched small row
+    ``n_salts`` times — so they are rejected rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_equi_join supports how='inner'|'left' (got {how!r}); "
+            "other join types are not equivalent under small-side salt explosion"
+        )
     spread = F.col(spread_col) if spread_col else F.concat_ws("\x00", *[F.col(c).cast("string") for c in large.columns])
     l_salted = large.withColumn("_salt", F.pmod(F.xxhash64(spread), F.lit(n_salts)).cast("int"))
     s_exploded = small.withColumn(

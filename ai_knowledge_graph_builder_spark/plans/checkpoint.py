@@ -92,9 +92,22 @@ def compute_lineage(
             .agg(F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in sorted(df.columns)]))).alias("content_hash"))
             .collect()
         )
-        by_split = {r["split"].rsplit("/", 1)[-1]: str(r["content_hash"]) for r in content}
+        # key BOTH sides by the path relative to stage_dir: lineage rows for
+        # partitionBy stages use the nested relative path (predicate=X/part-…)
+        # while input_file_name() returns a file:// URI — basename matching
+        # would silently miss every file of a partitioned stage.
+        prefix = str(stage_dir.resolve())
+
+        def _rel(uri: str) -> str:
+            p = uri.split("://", 1)[-1] if "://" in uri else uri
+            i = p.find(prefix)
+            return p[i + len(prefix):].lstrip("/") if i >= 0 else p.rsplit("/", 1)[-1]
+
+        by_split = {_rel(r["split"]): str(r["content_hash"]) for r in content}
         for row in out:
             row["content_hash"] = by_split.get(row["split"])
+        missed = [r["split"] for r in out if r["row_count"] > 0 and r["content_hash"] is None]
+        assert not missed, f"lineage content-hash lookup missed splits: {missed[:3]}"
     return out
 
 

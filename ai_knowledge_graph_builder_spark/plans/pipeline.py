@@ -129,9 +129,31 @@ def run_kg_pipeline_checkpointed(
     def fp(*parts: str) -> str:
         return hashlib.md5("\x00".join(parts).encode()).hexdigest()
 
+    from pyspark.sql import functions as _F
+
+    _dfp_cache: dict[int, str] = {}
+
+    def dfp(df: DataFrame | None) -> str:
+        """Content fingerprint of a dimension table (registry / doc_meta /
+        ground-truth edges): order-insensitive xor of per-row hashes + count.
+        Stages that consume these inputs fold this into their fingerprint so
+        changing the registry (etc.) invalidates exactly the stages that read
+        it — a path-only fingerprint silently resumes stale snapshots
+        (ADVICE round 1). to_json first: map-typed columns aren't hashable."""
+        if df is None:
+            return "none"
+        key = id(df)
+        if key not in _dfp_cache:
+            row = df.select(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.bit_xor(_F.xxhash64(_F.to_json(_F.struct(*sorted(df.columns))))).alias("h"),
+            ).first()
+            _dfp_cache[key] = f"{row['n']}:{row['h']}"
+        return _dfp_cache[key]
+
     out: dict[str, DataFrame] = {}
     resumed: dict[str, bool] = {}
-    f_docs = fp(corpus_fingerprint, "documents")
+    f_docs = fp(corpus_fingerprint, "documents", dfp(doc_meta))
 
     out["documents"], resumed["documents"] = run_stage(
         spark, f"{base_dir}/documents", "documents", f_docs,
@@ -145,7 +167,7 @@ def run_kg_pipeline_checkpointed(
     )
 
     aliases = build_alias_table(registry)
-    f_res = fp(gaz_fp, "mentions")
+    f_res = fp(gaz_fp, "mentions", dfp(registry))
 
     def _build_resolved():
         m, ext = resolve_mentions(out["mentions_raw"], aliases)
@@ -180,7 +202,7 @@ def run_kg_pipeline_checkpointed(
     nodes = registry_nodes(registry).unionByName(ext_nodes)
     if doc_meta is not None:
         nodes = nodes.unionByName(shadow_entities(doc_meta))
-    f_nodes = fp(f_res, "nodes")
+    f_nodes = fp(f_res, "nodes", dfp(registry), dfp(doc_meta))
     out["nodes"], resumed["nodes"] = run_stage(
         spark, f"{base_dir}/nodes", "nodes", f_nodes, lambda: nodes, key_col="id",
     )
@@ -197,7 +219,7 @@ def run_kg_pipeline_checkpointed(
         cooccur = cooccurrence_pairs(out["mentions"])
         return base.unionByName(infer_edges(cooccur, base))
 
-    f_edges = fp(f_nodes, "edges")
+    f_edges = fp(f_nodes, "edges", dfp(employees), dfp(assignments), dfp(policies))
     out["edges"], resumed["edges"] = run_stage(
         spark, f"{base_dir}/edges", "edges", f_edges, _build_edges, key_col="src",
         partition_by=["predicate"],

@@ -16,8 +16,12 @@ Design:
   (re-crawl storms collapse; state is evicted past the watermark);
 - the per-batch work runs in ``foreachBatch`` because entity resolution
   contains batch-only shapes (the A1 frequency gate is a global
-  aggregation); each micro-batch is internally consistent and appended
-  atomically with the stream's checkpointed epoch.
+  aggregation). foreachBatch alone is at-least-once: a crash between the
+  sink write and the checkpoint commit replays the epoch on restart. The
+  sink is therefore made idempotent per epoch — each batch overwrites its
+  own ``batch_id=N`` subdirectory, so a replayed epoch replaces its previous
+  (possibly partial) output instead of appending duplicates, and the
+  directory name doubles as a ``batch_id`` partition column on read.
 """
 
 from __future__ import annotations
@@ -63,7 +67,9 @@ def stream_mentions(
         raw = detect_mentions(docs, gazetteer).persist()
         raw.count()
         mentions, _ext = resolve_mentions(raw, aliases, alias_rows)
-        mentions.write.mode("append").parquet(output_dir)
+        # idempotent per-epoch sink (see module docstring): overwrite this
+        # epoch's own subdirectory, never blind-append to the shared dir
+        mentions.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
         raw.unpersist()
 
     writer = (
