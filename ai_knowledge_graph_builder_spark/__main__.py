@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("kg-pipeline")
     spark.sparkContext.setLogLevel("WARN")
 
-    doc_meta = employees = assignments = policies = None
+    doc_meta = employees = assignments = policies = emails = None
     gazetteer = None
     if args.demo:
         from ai_knowledge_graph_builder_spark.sources.corpus import generate_corpus
@@ -87,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         employees = spark.createDataFrame(c["employees"])
         assignments = spark.createDataFrame(c["assignments"])
         policies = spark.createDataFrame(c["policies"])
+        emails = spark.createDataFrame(c["emails"])
         fingerprint = args.fingerprint or f"demo-waves-{args.demo_waves}"
     else:
         if not args.pages or not args.registry:
@@ -105,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
     out, resumed = run_kg_pipeline_checkpointed(
         spark, args.output, pages, registry, fingerprint,
         doc_meta=doc_meta, employees=employees, assignments=assignments,
-        policies=policies, gazetteer=gazetteer,
+        policies=policies, emails=emails, gazetteer=gazetteer,
         with_chunks=args.with_chunks,
         with_canonicalization=args.with_canonicalization,
         verify_integrity=args.verify_integrity,

@@ -211,13 +211,27 @@ def registry_nodes(registry: DataFrame) -> DataFrame:
         F.lit("policy"), F.lit("Policy"),
         F.lit("regulation"), F.lit("Regulation"),
     )
+    empty = F.create_map().cast("map<string,string>")
+    if "props" not in registry.columns:
+        props = empty
+    else:
+        from pyspark.sql import types as T
+
+        if isinstance(registry.schema["props"].dataType, T.MapType):
+            props = F.coalesce(F.col("props"), empty)
+        else:
+            # pandas-inferred struct (union of keys, nulls for absent ones):
+            # json round-trip drops the nulls and yields the declared map type
+            props = F.coalesce(
+                F.from_json(F.to_json("props"), "map<string,string>"), empty
+            )
     return registry.select(
         F.col("entity_id").alias("id"),
         F.coalesce("full_name", "name").alias("name"),
         type_map[F.col("entity_type")].alias("node_type"),
         F.lit(1.0).alias("confidence"),
         F.lit("registry").alias("source"),
-        F.create_map().cast("map<string,string>").alias("props"),
+        props.alias("props"),
     )
 
 
@@ -233,7 +247,11 @@ def assemble_triples(edges: DataFrame, nodes: DataFrame, broadcast_nodes: bool =
     e = edges.filter(~F.col("predicate").isin(*EXCLUDED_PREDICATES)).dropDuplicates(
         ["src", "predicate", "dst", "confidence", "source", "flagged", "inferred"]
     )
-    n = nodes.select("id", "name", "node_type")
+    # Document nodes can only be endpoints of the excluded predicates
+    # (MENTIONS/SENT/SENT_TO), so prune them BEFORE the join: at 10^12 docs
+    # the node table is dominated by Document rows and would never broadcast,
+    # while the entity-only side stays dimension-sized.
+    n = nodes.filter(F.col("node_type") != "Document").select("id", "name", "node_type")
     s = (F.broadcast(n) if broadcast_nodes else n).alias("s")
     o = (F.broadcast(n) if broadcast_nodes else n).alias("o")
     j = (

@@ -88,6 +88,26 @@ def structured_triple_text(triples: DataFrame) -> DataFrame:
     )
 
 
+def source_manifest(triples: DataFrame, chunks: DataFrame | None = None) -> DataFrame:
+    """A8: per-source-file usage counts — used_in_triples / used_in_chunks
+    (rag_system.py:713-751 builds this per answer over the retrieved items;
+    here it is the engine-wide manifest: one partial+final hash agg per
+    table, full-outer merged on the file name)."""
+    t = triples.groupBy(F.col("source").alias("file")).agg(
+        F.count(F.lit(1)).alias("used_in_triples")
+    )
+    if chunks is None:
+        return t.withColumn("used_in_chunks", F.lit(0).cast("long"))
+    c = chunks.groupBy(F.col("url").alias("file")).agg(
+        F.count(F.lit(1)).alias("used_in_chunks")
+    )
+    return t.join(c, "file", "full").select(
+        "file",
+        F.coalesce("used_in_triples", F.lit(0)).alias("used_in_triples"),
+        F.coalesce("used_in_chunks", F.lit(0)).alias("used_in_chunks"),
+    )
+
+
 def export_graph_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """S8: nodes.csv / edges.csv export (neo4j_loader.py:417-430); the
     map-typed props column is JSON-encoded for CSV compatibility."""

@@ -20,7 +20,7 @@ from difflib import SequenceMatcher
 
 import pandas as pd
 
-from ..functions.hashing import external_entity_id
+from ..functions.hashing import external_entity_id, stable_hash64
 from ..functions.html import extract_text
 from ..functions.ner import NER_LABELS
 
@@ -96,6 +96,15 @@ def run_oracle(corpus: dict[str, pd.DataFrame], detector) -> dict[str, pd.DataFr
             "confidence": 1.0,
             "source": "registry",
         }
+    registry_ids = set(nodes)  # phase-6 graph state for the J5 exists-check
+
+    # ---- Document nodes (neo4j_loader.py:286-299) --------------------------
+    for d in documents:
+        nodes[d["url"]] = {
+            "id": d["url"], "name": d["url"], "node_type": "Document",
+            "confidence": d["confidence"] if d["confidence"] is not None else 1.0,
+            "source": d["doc_type"] or "document",
+        }
 
     # ---- ground-truth edges (neo4j_loader.py:151-213) ---------------------
     edges: list[dict] = []
@@ -105,20 +114,60 @@ def run_oracle(corpus: dict[str, pd.DataFrame], detector) -> dict[str, pd.DataFr
                                "REPORTS_TO", e["manager_id"], 1.0, "employees.csv"))
     for a in corpus["assignments"].to_dict("records"):
         edges.append(_edge(a["employee_id"], "WORKS_ON", a["project_id"], 1.0,
-                           "project_assignments.csv"))
+                           "project_assignments.csv", props={"role": a["role"]}))
     for p in corpus["policies"].to_dict("records"):
         if p.get("owner_id"):
             edges.append(_edge(p["owner_id"], "OWNS", p["id"] if "id" in p else p["policy_id"],
                                1.0, "policies.csv"))
 
+    # ---- SENT / SENT_TO from email metadata (neo4j_loader.py:301-344) ------
+    emp_by_email = {
+        e["email"]: e["id"] for e in corpus["employees"].to_dict("records")
+    }
+    for e in corpus.get("emails", pd.DataFrame()).to_dict("records"):
+        if e["from_email"] in emp_by_email:
+            edges.append(_edge(emp_by_email[e["from_email"]], "SENT", e["url"], 1.0,
+                               "emails_metadata",
+                               props={"timestamp": e["ts"], "subject": e["subject"]}))
+        if e["to_email"] in emp_by_email:
+            edges.append(_edge(e["url"], "SENT_TO", emp_by_email[e["to_email"]], 1.0,
+                               "emails_metadata", props={"timestamp": e["ts"]}))
+
+    # ---- metadata MENTIONS behind entity-exists (neo4j_loader.py:346-366) --
+    for m in corpus["doc_meta"].to_dict("records"):
+        for em in m.get("entities_mentioned") or []:
+            if em["id"] in registry_ids:
+                edges.append(_edge(m["url"], "MENTIONS", em["id"], 0.9, "metadata",
+                                   props={"mention_text": em["mention_text"],
+                                          "extraction_method": "metadata"}))
+
     # ---- contradiction edges (neo4j_loader.py:368-386): flagged WORKS_ON ---
     for m in corpus["doc_meta"].to_dict("records"):
         for c in m.get("contradictions") or []:
-            if c["type"] == "project_assignment" and c["document_value"] in nodes:
+            if c["type"] == "project_assignment" and c["document_value"] in registry_ids:
                 edges.append(
                     _edge(c["entity"], "WORKS_ON", c["document_value"], 0.3,
-                          m["url"], flagged=True)
+                          m["url"], flagged=True,
+                          props={"contradiction_reason": c["explanation"],
+                                 "extraction_method": "contradiction"})
                 )
+
+    # ---- shadow entities + their flagged MENTIONS (neo4j_loader.py:388-414);
+    # docs in sorted(url) order so "first creating doc" matches the engine's
+    # min(url); ids content-derived (operators/graph.shadow_entities)
+    for m in sorted(corpus["doc_meta"].to_dict("records"), key=lambda r: r["url"]):
+        for c in m.get("contradictions") or []:
+            if c["type"] in ("product_mention", "policy_reference"):
+                name = c.get("document_value") or c.get("entity")
+                sid = f"shadow_{stable_hash64(name) % 100000:05d}"
+                if sid in nodes:
+                    continue
+                nodes[sid] = {
+                    "id": sid, "name": name, "node_type": "ShadowEntity",
+                    "confidence": 0.3, "source": m["url"],
+                }
+                edges.append(_edge(m["url"], "MENTIONS", sid, 0.4, "phase6_shadow",
+                                   flagged=True, props={"mention_text": name}))
 
     # ---- alias dict (entity_extractor.py:119-151): plain dict assignment ---
     entity_lookup: dict[str, str] = {}
@@ -193,6 +242,22 @@ def run_oracle(corpus: dict[str, pd.DataFrame], detector) -> dict[str, pd.DataFr
                                  "resolution_method": "external_entity",
                                  "resolution_type": "external", "confidence": 0.4})
 
+    # ---- STEP 3: NER MENTIONS edges, first-wins MERGE on (doc, entity,
+    # mention_text) — ON CREATE keeps the FIRST mention's confidence/position
+    # in arrival order (entity_extractor.py:310-353)
+    seen_mention_keys: set[tuple] = set()
+    for m in resolved:
+        key = (m["url"], m["resolved_id"], m["text"])
+        if key in seen_mention_keys:
+            continue
+        seen_mention_keys.add(key)
+        edges.append(_edge(m["url"], "MENTIONS", m["resolved_id"], m["confidence"],
+                           "phase7_extraction",
+                           props={"mention_text": m["text"],
+                                  "position": str(m["start"]),
+                                  "extraction_method": "rule_ner",
+                                  "resolution_type": m["resolution_type"]}))
+
     # ---- STEP 4: co-occurrence (entity_extractor.py:355-379) --------------
     doc_entities: dict[str, list[str]] = defaultdict(list)
     for m in resolved:
@@ -214,7 +279,9 @@ def run_oracle(corpus: dict[str, pd.DataFrame], detector) -> dict[str, pd.DataFr
         rel, conf = infer_relationship_type(e1.split("_")[0], e2.split("_")[0], count)
         if rel and (e1, rel, e2) not in existing:
             edges.append(_edge(e1, rel, e2, conf, "phase7_inference",
-                               inferred=True, props={"cooccurrence_count": str(count)}))
+                               inferred=True,
+                               props={"cooccurrence_count": str(count),
+                                      "extraction_method": "co_occurrence"}))
             existing.add((e1, rel, e2))
 
     # ---- STEP 6: triples (entity_extractor.py:452-499) --------------------

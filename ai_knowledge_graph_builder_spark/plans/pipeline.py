@@ -11,6 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.edges_full import (
+    document_nodes,
+    mention_edges,
+    metadata_mention_edges,
+    sent_edges,
+    shadow_mention_edges,
+)
 from ..operators.extraction import extract_documents
 from ..operators.graph import (
     assemble_triples,
@@ -33,13 +40,19 @@ def run_kg_pipeline(
     employees: DataFrame | None = None,
     assignments: DataFrame | None = None,
     policies: DataFrame | None = None,
+    emails: DataFrame | None = None,
     gazetteer: list[tuple[str, str]] | None = None,
     broadcast_nodes: bool = True,
     with_pronouns: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full flow lazily; returns the named DataFrames. Callers decide
     what to materialize (tests collect, the checkpointed runner writes
-    committed parquet stages)."""
+    committed parquet stages).
+
+    ``nodes``/``edges`` are the COMPLETE reference graph — Document nodes and
+    MENTIONS / SENT / SENT_TO edges included (neo4j_loader.py steps 3-7 +
+    entity_extractor.py step 3); ``triples`` excludes the non-semantic
+    predicates exactly as the reference does (entity_extractor.py:459)."""
     documents = extract_documents(pages, doc_meta)
     # persist the NER output: everything downstream (exact/fuzzy/external
     # linking, MENTIONS table, co-occurrence) fans out from here, and the
@@ -59,8 +72,11 @@ def run_kg_pipeline(
     mentions = mentions.persist()
 
     nodes = registry_nodes(registry).unionByName(external_nodes)
+    shadows = None
     if doc_meta is not None:
-        nodes = nodes.unionByName(shadow_entities(doc_meta))
+        shadows = shadow_entities(doc_meta)
+        nodes = nodes.unionByName(shadows)
+    nodes = nodes.unionByName(document_nodes(documents))
 
     base_edges = None
     if employees is not None and assignments is not None and policies is not None:
@@ -74,6 +90,16 @@ def run_kg_pipeline(
         base_edges = spark.createDataFrame([], infer_edges(cooccur, _empty_edges(spark)).schema)
     inferred = infer_edges(cooccur, base_edges)
     edges = base_edges.unionByName(inferred)
+
+    # non-semantic edge families (D1/J4/J5 + shadow mentions): part of the
+    # graph, excluded from triples by predicate (entity_extractor.py:459)
+    edges = edges.unionByName(mention_edges(mentions))
+    if doc_meta is not None:
+        edges = edges.unionByName(metadata_mention_edges(doc_meta, registry_nodes(registry)))
+    if shadows is not None:
+        edges = edges.unionByName(shadow_mention_edges(shadows))
+    if emails is not None and employees is not None:
+        edges = edges.unionByName(sent_edges(emails, employees))
 
     triples = assemble_triples(edges, nodes, broadcast_nodes=broadcast_nodes)
     return {
@@ -103,6 +129,7 @@ def run_kg_pipeline_checkpointed(
     employees: DataFrame | None = None,
     assignments: DataFrame | None = None,
     policies: DataFrame | None = None,
+    emails: DataFrame | None = None,
     gazetteer: list[tuple[str, str]] | None = None,
     with_chunks: bool = False,
     with_canonicalization: bool = False,
@@ -194,14 +221,20 @@ def run_kg_pipeline_checkpointed(
         )
     )
 
+    from ..operators.edges_full import (
+        document_nodes, mention_edges, metadata_mention_edges, sent_edges,
+        shadow_mention_edges,
+    )
     from ..operators.graph import (
         assemble_triples, contradiction_edges, cooccurrence_pairs,
         ground_truth_edges, infer_edges, registry_nodes, shadow_entities,
     )
 
+    shadows = shadow_entities(doc_meta) if doc_meta is not None else None
     nodes = registry_nodes(registry).unionByName(ext_nodes)
-    if doc_meta is not None:
-        nodes = nodes.unionByName(shadow_entities(doc_meta))
+    if shadows is not None:
+        nodes = nodes.unionByName(shadows)
+    nodes = nodes.unionByName(document_nodes(out["documents"]))
     f_nodes = fp(f_res, "nodes", dfp(registry), dfp(doc_meta))
     out["nodes"], resumed["nodes"] = run_stage(
         spark, f"{base_dir}/nodes", "nodes", f_nodes, lambda: nodes, key_col="id",
@@ -217,9 +250,18 @@ def run_kg_pipeline_checkpointed(
         if base is None:
             base = _empty_edges(spark)
         cooccur = cooccurrence_pairs(out["mentions"])
-        return base.unionByName(infer_edges(cooccur, base))
+        edges = base.unionByName(infer_edges(cooccur, base))
+        edges = edges.unionByName(mention_edges(out["mentions"]))
+        if doc_meta is not None:
+            edges = edges.unionByName(metadata_mention_edges(doc_meta, registry_nodes(registry)))
+        if shadows is not None:
+            edges = edges.unionByName(shadow_mention_edges(shadows))
+        if emails is not None and employees is not None:
+            edges = edges.unionByName(sent_edges(emails, employees))
+        return edges
 
-    f_edges = fp(f_nodes, "edges", dfp(employees), dfp(assignments), dfp(policies))
+    f_edges = fp(f_nodes, "edges", dfp(employees), dfp(assignments), dfp(policies),
+                 dfp(emails))
     out["edges"], resumed["edges"] = run_stage(
         spark, f"{base_dir}/edges", "edges", f_edges, _build_edges, key_col="src",
         partition_by=["predicate"],
@@ -229,8 +271,10 @@ def run_kg_pipeline_checkpointed(
         f_canon = fp(f_edges, "canonical")
 
         def _build_canonical_edges():
+            # Document nodes never canonicalize — don't embed 10^12 urls
+            ent_nodes = out["nodes"].filter(F.col("node_type") != "Document")
             name_emb = embed_texts_df(
-                out["nodes"].select("id", "name"), "name", "id", "node_name"
+                ent_nodes.select("id", "name"), "name", "id", "node_name"
             )
             remap = cluster_external_entities(out["nodes"], name_emb)
             return apply_canonical_remap(out["edges"], remap)

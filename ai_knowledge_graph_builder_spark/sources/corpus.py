@@ -180,8 +180,8 @@ def generate_corpus(
     filler_max_words: int = 200,
 ) -> dict[str, pd.DataFrame]:
     """Build the full fixture set. Returns pandas DataFrames:
-    pages, registry, doc_meta, employees, projects, products, policies,
-    assignments. ``waves`` scales the report count (waves × 12 projects);
+    pages, registry, doc_meta, emails, employees, projects, products,
+    policies, assignments. ``waves`` scales the report count (waves × 12 projects);
     co-occurrence counts scale with waves so rule inference (A4 thresholds
     3/5 — entity_extractor.py:430-450) fires on a controlled subset."""
     rng = random.Random(seed)
@@ -193,6 +193,7 @@ def generate_corpus(
 
     pages_rows: list[dict] = []
     meta_rows: list[dict] = []
+    email_rows: list[dict] = []  # emails_metadata.json analog (gen_data_email.py)
     report_no = 0
 
     # --- reports (semi_structured; gen_data_semstr.py analog) -------------
@@ -225,10 +226,24 @@ def generate_corpus(
                 f"Status update for {proj_ref} covering delivery milestones this quarter.",
                 f"Executive sponsor {s1['full_name']} reviewed the roadmap in detail.",
             ]
+            # entities_mentioned: the doc metadata's declared entity list
+            # (metadata.json analog — neo4j_loader.py:346-366 ingests these as
+            # confidence-0.9 MENTIONS edges behind an entity-exists check)
+            mentioned: dict[str, str] = {proj["id"]: proj_ref, s1["id"]: s1["full_name"]}
             if wave % 2 == 0:
                 paras.append(f"Budget sign-off was provided by {s2['full_name']} this cycle.")
+                mentioned[s2["id"]] = s2["full_name"]
+            for e2, p2 in ((prod, prod["name"]), (pol, pol["name"]),
+                           (regu, regu["name"] if wave % 2 else regu["full_name"])):
+                mentioned[e2["id"]] = p2
+            if report_no % 11 == 0:
+                # dangling declared mention: no such node — the J5
+                # entity-exists gate must drop it on both engine and oracle
+                mentioned["proj_999"] = "Project Vaporware"
             if team:
                 refs = [_emp_ref(e, rng) for e in team]
+                for e2, ref in zip(team, refs):
+                    mentioned[e2["id"]] = ref
                 paras.append(
                     "The work led by " + " and ".join(refs)
                     + f" completed integration of {prod['name']} under the {pol['name']}."
@@ -264,7 +279,7 @@ def generate_corpus(
             text = "\n".join(paras)
             url = f"https://corp.example/reports/report_{report_no:05d}.html"
             pages_rows.append(_page(url, report_no, text, f"Report {report_no}"))
-            meta_rows.append(_meta(url, "semi_structured", contradictions))
+            meta_rows.append(_meta(url, "semi_structured", contradictions, mentioned))
 
     # --- emails (unstructured; gen_data_email.py analog) ------------------
     for i in range(1, n_emails + 1):
@@ -293,7 +308,22 @@ def generate_corpus(
         text = "\n".join(paras)
         url = f"https://corp.example/unstructured/email_{i:05d}.html"
         pages_rows.append(_page(url, 10000 + i, text, f"Email {i}"))
-        meta_rows.append(_meta(url, "unstructured", contradictions))
+        mentioned = {proj["id"]: proj["name"], colleague["id"]: colleague["full_name"],
+                     to["id"]: to["first_name"]}
+        meta_rows.append(_meta(url, "unstructured", contradictions, mentioned))
+        # emails metadata (gen_data_email.py analog): sender/recipient
+        # addresses resolve to Employee nodes → SENT / SENT_TO edges
+        # (neo4j_loader.py:301-344). Every 7th sender is an outside address
+        # with no Employee match — the no-edge branch must hold on both sides.
+        email_rows.append(
+            {
+                "url": url,
+                "from_email": "external.sender@outside.example" if i % 7 == 0 else frm["email"],
+                "to_email": to["email"],
+                "ts": (EPOCH + timedelta(minutes=10000 + i)).strftime("%Y-%m-%dT%H:%M:%S"),
+                "subject": f"Update on {proj['name']}",
+            }
+        )
 
     # --- external docs (gen_data_external.py analog) ----------------------
     for i in range(1, n_external + 1):
@@ -308,7 +338,7 @@ def generate_corpus(
         text = "\n".join(paras)
         url = f"https://corp.example/external/ext_{i:05d}.html"
         pages_rows.append(_page(url, 20000 + i, text, f"External {i}"))
-        meta_rows.append(_meta(url, "external", []))
+        meta_rows.append(_meta(url, "external", [], {regu["id"]: regu["name"]}))
 
     pages = pd.DataFrame(pages_rows).sort_values("url").reset_index(drop=True)
     doc_meta = pd.DataFrame(meta_rows)
@@ -317,6 +347,7 @@ def generate_corpus(
         "pages": pages,
         "registry": registry_df,
         "doc_meta": doc_meta,
+        "emails": pd.DataFrame(email_rows),
         "employees": pd.DataFrame(reg["employees"]),
         "projects": pd.DataFrame(reg["projects"]),
         "products": pd.DataFrame(reg["products"]),
@@ -335,11 +366,15 @@ def _page(url: str, ordinal: int, text: str, title: str) -> dict:
     }
 
 
-def _meta(url: str, doc_type: str, contradictions: list[dict]) -> dict:
+def _meta(url: str, doc_type: str, contradictions: list[dict],
+          mentioned: dict[str, str] | None = None) -> dict:
     return {
         "url": url,
         "doc_type": doc_type,
         "contradictions": contradictions,
+        "entities_mentioned": [
+            {"id": eid, "mention_text": txt} for eid, txt in (mentioned or {}).items()
+        ],
         "confidence_alignment": {"semi_structured": 0.7, "unstructured": 0.6, "external": 0.5}[doc_type],
     }
 
@@ -350,6 +385,13 @@ def _registry_df(reg: dict[str, list[dict]]) -> pd.DataFrame:
     policies, regulations — entity_extractor.py:119-149)."""
     rows = []
     idx = 0
+    prop_keys = {
+        "employee": ("role", "department", "hire_date"),
+        "project": ("status", "department"),
+        "product": ("vendor",),
+        "policy": ("effective_date",),
+        "regulation": (),
+    }
     for etype, key in [
         ("employee", "employees"),
         ("project", "projects"),
@@ -366,6 +408,10 @@ def _registry_df(reg: dict[str, list[dict]]) -> pd.DataFrame:
                     "full_name": e.get("full_name"),
                     "first_name": e.get("first_name"),
                     "last_name": e.get("last_name"),
+                    # node property bag (neo4j_loader.py:100-145 SETs these on
+                    # the typed nodes; the golden temporal/comparative/
+                    # aggregative categories read them back)
+                    "props": {k: str(e[k]) for k in prop_keys[etype] if e.get(k)},
                     "insertion_idx": idx,
                 }
             )

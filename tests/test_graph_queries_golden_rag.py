@@ -53,22 +53,47 @@ def test_one_hop_context_capped(spark, kg):
 
 def test_orphan_and_summary(spark, kg):
     orphans = {r["node_type"]: r["n_orphans"] for r in orphan_nodes(kg["nodes"], kg["edges"]).collect()}
-    # shadow entities have only MENTIONS-less fixture edges → orphans exist
-    assert "ShadowEntity" in orphans
+    # every shadow entity gets a flagged MENTIONS edge at creation
+    # (neo4j_loader.py:406-411) — none may be orphaned
+    assert "ShadowEntity" not in orphans, orphans
     s = triple_summary(kg["triples"]).collect()[0]
     assert s["total"] == s.asDict()["total"] and s["ground_truth"] > 0 and s["inferred"] > 0 and s["flagged"] > 0
     st = structured_triple_text(kg["triples"]).limit(1).collect()[0]
     assert st["structured_text"].startswith("Subject: ")
 
 
+def test_source_manifest_counts(spark, kg):
+    """A8: per-file used_in_triples/used_in_chunks match a pandas groupby."""
+    from collections import Counter
+
+    from ai_knowledge_graph_builder_spark.operators.graph_queries import source_manifest
+
+    chunks = chunk_documents(kg["documents"]).persist()
+    got = {r["file"]: (r["used_in_triples"], r["used_in_chunks"])
+           for r in source_manifest(kg["triples"], chunks).collect()}
+
+    t_cnt = Counter(r["source"] for r in kg["triples"].collect())
+    c_cnt = Counter(r["url"] for r in chunks.collect())
+    want = {f: (t_cnt.get(f, 0), c_cnt.get(f, 0)) for f in set(t_cnt) | set(c_cnt)}
+    assert got == want
+
+
 def test_golden_queries_perfect_accuracy(spark, kg, corpus):
     golden = generate_golden_queries(corpus)
-    assert {"basic_fact", "relationship", "quantitative", "negative"} <= set(golden["category"])
-    answered = answer_golden_queries(spark, golden, kg["triples"])
+    # all 11 reference categories (generate_golden_queries.py:202-877)
+    assert set(golden["category"]) == {
+        "basic_fact", "relationship", "quantitative", "temporal", "comparative",
+        "aggregative", "negative", "complex", "semantic", "contradiction",
+        "edge_case",
+    }, set(golden["category"])
+    answered = answer_golden_queries(spark, golden, kg["triples"], kg["nodes"])
     scores = score_golden(answered)
     assert scores == {c: 1.0 for c in scores}, scores
     # thresholds from the reference config are a floor, we require exactness
     assert all(v >= 0.75 for v in scores.values())
+    # contradiction surfacing is non-vacuous: flagged triples answered >= 1
+    con = answered[(answered["category"] == "contradiction") & answered["should_succeed"]]
+    assert len(con) >= 1 and all(len(a) >= 1 for a in con["answer"])
 
 
 def test_retrieval_self_rank1(spark, kg):

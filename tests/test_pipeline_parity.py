@@ -22,7 +22,8 @@ def oracle_result(corpus):
 @pytest.fixture(scope="module")
 def spark_result(spark, corpus):
     dfs = {k: spark.createDataFrame(corpus[k]) for k in
-           ["pages", "doc_meta", "registry", "employees", "assignments", "policies"]}
+           ["pages", "doc_meta", "registry", "employees", "assignments",
+            "policies", "emails"]}
     return run_kg_pipeline(
         spark,
         pages=dfs["pages"],
@@ -31,6 +32,7 @@ def spark_result(spark, corpus):
         employees=dfs["employees"],
         assignments=dfs["assignments"],
         policies=dfs["policies"],
+        emails=dfs["emails"],
     )
 
 
@@ -91,13 +93,64 @@ def test_triple_spo_precision_recall(spark_result, oracle_result):
 
 
 def test_nodes_parity(spark_result, oracle_result):
-    got = {(r["id"], r["name"], r["node_type"]) for r in spark_result["nodes"].collect()
-           if r["node_type"] != "ShadowEntity"}
+    got = {(r["id"], r["name"], r["node_type"]) for r in spark_result["nodes"].collect()}
     want = {(r["id"], r["name"], r["node_type"])
             for r in oracle_result["nodes"].to_dict("records")}
     assert got == want, (
         f"spark-only={sorted(got - want)[:5]} oracle-only={sorted(want - got)[:5]}"
     )
+
+
+def _edge_key(r):
+    props = r["props"] or {}
+    return (r["src"], r["predicate"], r["dst"], round(float(r["confidence"]), 4),
+            r["source"], bool(r["flagged"]), bool(r["inferred"]),
+            tuple(sorted(props.items())))
+
+
+def test_full_edge_set_parity(spark_result, oracle_result):
+    """The COMPLETE graph edge set — ground truth, contradiction, inferred,
+    NER MENTIONS (D1 first-wins), metadata MENTIONS (J5 exists-gated),
+    shadow MENTIONS, SENT/SENT_TO (J4) — matches the loop-by-loop oracle
+    row for row, props included."""
+    got = {_edge_key(r.asDict()) for r in spark_result["edges"].collect()}
+    want = {_edge_key(r) for r in oracle_result["edges"].to_dict("records")}
+    assert got == want, (
+        f"spark-only={sorted(got - want)[:4]} oracle-only={sorted(want - got)[:4]}"
+    )
+    # every family present (non-vacuous)
+    preds = {k[1] for k in got}
+    sources = {k[4] for k in got}
+    assert {"MENTIONS", "SENT", "SENT_TO"} <= preds, preds
+    assert {"phase7_extraction", "metadata", "phase6_shadow", "emails_metadata"} <= sources
+
+
+def test_mention_edges_first_wins(spark_result):
+    """D1: one edge per (doc, entity, surface text) — MERGE absorbed every
+    later duplicate."""
+    from collections import Counter
+
+    ment = [r for r in spark_result["edges"].collect()
+            if r["predicate"] == "MENTIONS" and r["source"] == "phase7_extraction"]
+    keys = Counter((r["src"], r["dst"], r["props"]["mention_text"]) for r in ment)
+    assert ment and max(keys.values()) == 1
+
+
+def test_orphan_parity(spark, spark_result, oracle_result):
+    """A9: orphan counts per node type on the FULL graph (MENTIONS/SENT
+    included) match the oracle's no-edge-in-either-direction scan
+    (neo4j_loader.py:481-489)."""
+    from ai_knowledge_graph_builder_spark.operators.graph_queries import orphan_nodes
+
+    got = {r["node_type"]: r["n_orphans"]
+           for r in orphan_nodes(spark_result["nodes"], spark_result["edges"]).collect()}
+    e = oracle_result["edges"]
+    touched = set(e["src"]) | set(e["dst"])
+    want: dict[str, int] = {}
+    for n in oracle_result["nodes"].to_dict("records"):
+        if n["id"] not in touched:
+            want[n["node_type"]] = want.get(n["node_type"], 0) + 1
+    assert got == want, (got, want)
 
 
 def test_external_entities_respect_threshold(oracle_result):
@@ -115,9 +168,11 @@ def test_parity_at_larger_scale(spark):
     big = generate_corpus(seed=7, waves=10, n_emails=40, n_external=10,
                           filler_max_words=80)
     dfs = {k: spark.createDataFrame(big[k]) for k in
-           ["pages", "doc_meta", "registry", "employees", "assignments", "policies"]}
+           ["pages", "doc_meta", "registry", "employees", "assignments",
+            "policies", "emails"]}
     out = run_kg_pipeline(spark, dfs["pages"], dfs["registry"], dfs["doc_meta"],
-                          dfs["employees"], dfs["assignments"], dfs["policies"])
+                          dfs["employees"], dfs["assignments"], dfs["policies"],
+                          emails=dfs["emails"])
     got = {(r["subject_name"], r["predicate"], r["object_name"])
            for r in out["triples"].collect()}
     want = {(r["subject_name"], r["predicate"], r["object_name"])
