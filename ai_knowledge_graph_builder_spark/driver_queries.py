@@ -330,6 +330,43 @@ FROM documents d JOIN aliases a
 """
 
 
+def kg_mention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 under driver-oracle coverage: the REAL mention_edges operator
+    (first-wins MERGE on (doc, entity, surface text) via min_by hash agg)
+    over the flagship pipeline's resolved mentions. position = char offset
+    of the FIRST occurrence — SQL-checkable because every registry word is
+    substring-safe against the corpus vocabulary (verified: no vocab token
+    contains another registry word), so DuckDB's strpos is exactly the
+    first word-boundary match."""
+    from .operators.edges_full import mention_edges
+    from .operators.extraction import extract_documents
+
+    pages = load_pages(spark, sf_dir)
+    documents = extract_documents(pages)
+    mentions_raw = detect_mentions(documents, flagship_gazetteer())
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    edges = mention_edges(mentions)
+    return edges.select(
+        F.regexp_replace("src", "doc://", "").cast("long").alias("doc_id"),
+        F.col("dst").alias("entity_id"),
+        F.col("props")["mention_text"].alias("mention_text"),
+        F.col("props")["position"].cast("long").alias("position"),
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+KG_MENTION_EDGES_SQL = f"""
+WITH aliases(word, eid) AS (VALUES {_flagship_alias_values()})
+SELECT d.doc_id, a.eid AS entity_id, a.word AS mention_text,
+       (strpos(d.text, a.word) - 1)::BIGINT AS position,
+       ROUND(0.95, 4)::DOUBLE AS confidence
+FROM documents d JOIN aliases a
+  ON regexp_matches(d.text, '\\b' || a.word || '\\b')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text-pipeline operators over `documents`
 # ---------------------------------------------------------------------------
@@ -871,6 +908,7 @@ GROUP BY tok HAVING count(*) >= (SELECT count(*) / 10.0 FROM documents)
 QUERIES = {
     "kg_inferred_triples": kg_inferred_triples,
     "kg_mentions": kg_mentions,
+    "kg_mention_edges": kg_mention_edges,
     "kg_fuzzy_linking": kg_fuzzy_linking,
     "kg_external_entities": kg_external_entities,
     "doc_wordcount": doc_wordcount,
@@ -896,6 +934,7 @@ QUERIES = {
 ORACLES = {
     "kg_inferred_triples": KG_INFERRED_TRIPLES_SQL,
     "kg_mentions": KG_MENTIONS_SQL,
+    "kg_mention_edges": KG_MENTION_EDGES_SQL,
     "kg_fuzzy_linking": KG_FUZZY_LINKING_SQL,
     "kg_external_entities": KG_EXTERNAL_ENTITIES_SQL,
     "doc_wordcount": DOC_WORDCOUNT_SQL,

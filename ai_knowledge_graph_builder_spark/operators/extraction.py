@@ -27,15 +27,24 @@ def extract_documents(
     pages: DataFrame,
     doc_meta: DataFrame | None = None,
     partitions: int | None = None,
+    presalted: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → documents(url, doc_type,
-    source, extracted_text, word_count, confidence, has_contradictions)."""
+    source, extracted_text, word_count, confidence, has_contradictions).
+
+    ``presalted=True`` skips the salted repartition for inputs that are
+    ALREADY uniformly distributed (e.g. the output of an upstream salted
+    stage): the repartition is a full shuffle of the html payload — the
+    single largest memory-bus cost of the extraction phase — and pure waste
+    when the input needs no rebalancing."""
     src = pages.select("url", "html")
-    # salted repartition by url-hash (SURVEY.md §4 explicit item 1); 4x the
-    # core count so document-length variance and Python-worker scheduling
-    # jitter average out instead of convoying the stage on its slowest task
-    n = partitions or 4 * src.sparkSession.sparkContext.defaultParallelism
-    src = src.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
+    if not presalted:
+        # salted repartition by url-hash (SURVEY.md §4 explicit item 1); 4x
+        # the core count so document-length variance and Python-worker
+        # scheduling jitter average out instead of convoying the stage on
+        # its slowest task
+        n = partitions or 4 * src.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

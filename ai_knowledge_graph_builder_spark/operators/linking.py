@@ -141,12 +141,16 @@ def resolve_mentions(
 
     # Single-pass resolution: the exact-join result `m` is persisted once;
     # the fuzzy scores and external-entity table are BROADCAST-SIZED side
-    # outputs derived from aggregations over `m` (distinct unresolved texts,
-    # per-text counts), and the final resolved relation is ONE projection of
-    # `m` with two broadcast joins — no 3-way union, no repeated full-width
-    # serialization of the mention relation. Semantics are exactly the
-    # reference's exact → fuzzy → external cascade (entity_extractor.py:
-    # 196-263) because the cascade is per-TEXT, not per-row.
+    # outputs derived from ONE aggregation over `m`, and the final resolved
+    # relation is ONE projection of `m` with two broadcast joins — no 3-way
+    # union, no repeated full-width serialization of the mention relation.
+    # Semantics are exactly the reference's exact → fuzzy → external cascade
+    # (entity_extractor.py:196-263) because the cascade is per-TEXT, not
+    # per-row: a norm's resolution, mention count, and first-arrival
+    # attribution are all properties of the norm, so the distinct-unresolved
+    # set AND the A1 frequency gate come out of the same groupBy(norm) —
+    # the big relation is touched exactly twice (this aggregation + the
+    # final projection), down from four passes in the naive plan.
     #
     # The persist MUST be materialized eagerly (count) before the broadcast
     # subtrees execute: AQE materializes them concurrently, and racing
@@ -155,19 +159,25 @@ def resolve_mentions(
     m = link_exact(mentions_raw, aliases).persist()
     m.count()
 
-    unresolved = m.filter(F.col("exact_id").isNull())
-    scored = score_fuzzy(unresolved.select("norm").distinct(), alias_rows)
-
-    # A1: external-entity aggregation over texts that miss exact AND fuzzy
-    still = unresolved.join(
-        F.broadcast(scored.filter(F.col("fuzzy_id").isNull()).select("norm")), "norm"
-    )
-    grouped = still.groupBy("norm").agg(
+    # per-norm summary: broadcast-sized (distinct surface texts); eagerly
+    # materialized for the same AQE-race reason as `m` above (its two
+    # consumers — fuzzy scoring and the external gate — run concurrently)
+    per_norm = m.groupBy("norm").agg(
         F.count(F.lit(1)).alias("mention_count"),
         F.min(F.struct("url", "mention_idx", "label")).alias("first"),
+        F.first("exact_id").alias("norm_exact_id"),  # constant per norm
+    ).persist()
+    per_norm.count()
+
+    scored = score_fuzzy(
+        per_norm.filter(F.col("norm_exact_id").isNull()).select("norm"), alias_rows
     )
+
+    # A1: external-entity gate over norms that miss exact AND fuzzy
     ext = (
-        grouped.filter(F.col("mention_count") >= EXTERNAL_ENTITY_THRESHOLD)
+        per_norm.filter(F.col("norm_exact_id").isNull())
+        .join(F.broadcast(scored.filter(F.col("fuzzy_id").isNull()).select("norm")), "norm")
+        .filter(F.col("mention_count") >= EXTERNAL_ENTITY_THRESHOLD)
         .select(
             "norm",
             _ext_id_udf()(F.col("norm"), F.col("first.label")).alias("ext_id"),

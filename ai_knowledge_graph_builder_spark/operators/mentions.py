@@ -76,3 +76,60 @@ def detect_mentions(
             )
 
     return src.mapInPandas(_detect, MENTION_SCHEMA)
+
+
+def extract_and_detect(
+    pages: DataFrame,
+    gazetteer: list[tuple[str, str]] | None = None,
+    presalted: bool = False,
+) -> DataFrame:
+    """Fused S3-S5 + U1: pages(url, html) → mentions_raw in ONE Arrow pass.
+
+    Semantics are exactly ``extract_documents → detect_mentions`` (pytest
+    asserts set equality), but the heavy payload crosses the JVM↔Python
+    boundary ONCE: the unfused chain ships html into Python, the extracted
+    text back to the JVM, then the same text into Python again — 3× the
+    byte traffic on the memory bus, which is the binding constraint of the
+    scaling criterion (BENCH.md control probes). Use the unfused pair when
+    the documents table must materialize (checkpointed stage runs); use this
+    when mentions are the only consumer (streaming micro-batches, slice
+    benchmarks, single-shot jobs)."""
+    from ..functions.html import extract_text
+
+    gaz = tuple(gazetteer) if gazetteer else None
+    src = pages.select("url", "html")
+    if not presalted:
+        n = 4 * src.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        detector = _get_detector(gaz)
+        for pdf in batches:
+            urls, dts, idxs, texts, labels, starts, ends = [], [], [], [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(html)
+                if len(text.split()) <= 0:  # P1 wc>0 filter
+                    continue
+                for mi, m in enumerate(detector(text)):
+                    if m.label not in NER_LABELS:
+                        continue
+                    urls.append(url)
+                    dts.append(None)
+                    idxs.append(mi)
+                    texts.append(m.text)
+                    labels.append(m.label)
+                    starts.append(m.start)
+                    ends.append(m.end)
+            yield pd.DataFrame(
+                {
+                    "url": pd.array(urls, dtype="string"),
+                    "doc_type": pd.array(dts, dtype="string"),
+                    "mention_idx": pd.array(idxs, dtype="int32"),
+                    "text": pd.array(texts, dtype="string"),
+                    "label": pd.array(labels, dtype="string"),
+                    "start": pd.array(starts, dtype="int32"),
+                    "end": pd.array(ends, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(_run, MENTION_SCHEMA)

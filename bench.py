@@ -52,8 +52,18 @@ def run_bench() -> dict:
     spark = get_spark("kg-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM / Arrow workers so per-query timings measure the plan
+    # warm up the JVM AND the Python/Arrow worker pool so per-query timings
+    # measure the plan, not the one-time daemon forks + pandas imports
+    # (long-lived on any real cluster): one tiny mapInPandas over 64 rows
+    # forks the daemons; the count warms the scan path.
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(64).repartition(int(cpus))
+        .mapInPandas(lambda it: (pdf.head(1) for pdf in it),
+                     spark.read.parquet(f"{sf_dir}/documents.parquet").schema)
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -78,14 +88,21 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """N vs 4N executors, emulated as 1 vs 4 separate 8-core-pinned worker
-    JVMs over disjoint slices of the same input; efficiency measured on
-    marginal (steady-state) throughput. See bench_scaling.run_cluster_scaling."""
-    from ai_knowledge_graph_builder_spark.bench_scaling import run_cluster_scaling
+def run_scaling(jvms: bool = False) -> dict:
+    """N vs 4N parallelism on the same job + input. Default mode: local[8]
+    vs local[32] (the round brief's sanctioned sandbox form) with steal-
+    guarded min-of-3 points; ``--jvms`` switches to the stricter 1-vs-4
+    pinned 8-core worker JVM emulation. Both report least-squares marginal
+    throughput. See bench_scaling.py + BENCH.md."""
+    from ai_knowledge_graph_builder_spark.bench_scaling import (
+        run_cluster_scaling,
+        run_thread_scaling,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    return run_cluster_scaling(sf_dir=sf_dir)
+    if jvms:
+        return run_cluster_scaling(sf_dir=sf_dir)
+    return run_thread_scaling(sf_dir=sf_dir)
 
 
 def run_kg_only() -> dict:
@@ -112,10 +129,39 @@ def run_kg_only() -> dict:
     }
 
 
+def sync_bench_md(result: dict) -> None:
+    """Rewrite the marker-delimited headline block in BENCH.md from the
+    freshly measured result so the doc can never drift from the artifact
+    (VERDICT r1 'What's wrong' #5)."""
+    p = Path(__file__).resolve().parent / "BENCH.md"
+    begin, end = "<!-- BENCH_HEADLINE_BEGIN -->", "<!-- BENCH_HEADLINE_END -->"
+    try:
+        text = p.read_text()
+    except OSError:
+        return
+    if begin not in text or end not in text:
+        return
+    q = result.get("queries", {})
+    lines = [
+        begin,
+        f"- `bench.py` (sf{result['sf']}, {result['docs']} docs incl. all fixed",
+        f"  overhead, local[{result['cpus']}]): **{result['value']} s ⇒"
+        f" {result['docs_per_sec']} docs/s** end-to-end.",
+        "- Per-query (s): "
+        + ", ".join(f"{k} {v}" for k, v in sorted(q.items(), key=lambda kv: -kv[1])),
+        end,
+    ]
+    head, rest = text.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    p.write_text(head + "\n".join(lines) + tail)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(jvms="--jvms" in sys.argv)))
     elif "--kg-only" in sys.argv:
         print(json.dumps(run_kg_only()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        sync_bench_md(result)
+        print(json.dumps(result))

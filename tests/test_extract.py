@@ -57,3 +57,22 @@ def test_spark_extraction_matches_oracle_column(spark, corpus):
 
     pages = spark.createDataFrame(corpus["pages"])
     assert verify_extraction(pages).count() == 0
+
+
+def test_fused_extract_detect_matches_unfused(spark, corpus):
+    """extract_and_detect (one Arrow pass) emits exactly the mentions of
+    extract_documents → detect_mentions (modulo doc_type, which the fused
+    path has no metadata join for)."""
+    from ai_knowledge_graph_builder_spark.operators.extraction import extract_documents
+    from ai_knowledge_graph_builder_spark.operators.mentions import (
+        detect_mentions,
+        extract_and_detect,
+    )
+
+    pages = spark.createDataFrame(corpus["pages"])
+    cols = ["url", "mention_idx", "text", "label", "start", "end"]
+    unfused = {tuple(r[c] for c in cols)
+               for r in detect_mentions(extract_documents(pages), None).collect()}
+    fused = {tuple(r[c] for c in cols)
+             for r in extract_and_detect(pages, None).collect()}
+    assert fused == unfused and len(fused) > 0
