@@ -253,12 +253,72 @@ WHERE a.n_mentions >= 2
 """
 
 
+def kg_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 orphan check (neo4j_loader.py:481-489) through the REAL graph
+    operators: registry + Document nodes, NER MENTIONS edges, then
+    orphan_nodes (no-edge-in-either-direction, counted per type). A planted
+    registry entity whose name never occurs in the corpus ('vaporware')
+    guarantees a non-vacuous Entity orphan row; Document orphans are the
+    docs containing none of the registry words."""
+    from .operators.edges_full import document_nodes, mention_edges
+    from .operators.extraction import extract_documents
+    from .operators.graph import registry_nodes
+    from .operators.graph_queries import orphan_nodes
+
+    pages = load_pages(spark, sf_dir)
+    documents = extract_documents(pages)
+    mentions_raw = detect_mentions(documents, flagship_gazetteer())
+    registry = flagship_registry_df(spark)
+    # planted never-mentioned entity → guaranteed orphan (J5-adjacent case)
+    ghost = spark.createDataFrame(pd.DataFrame([{
+        "entity_id": "proj_999", "entity_type": "project", "name": "vaporware",
+        "full_name": None, "first_name": None, "last_name": None,
+        "insertion_idx": len(FLAGSHIP_REGISTRY),
+    }]))
+    registry = registry.unionByName(ghost)
+    aliases = build_alias_table(registry)
+    mentions, ext_nodes = resolve_mentions(mentions_raw, aliases)
+    nodes = (
+        registry_nodes(registry)
+        .unionByName(ext_nodes)
+        .unionByName(document_nodes(documents))
+    )
+    edges = mention_edges(mentions)
+    return orphan_nodes(nodes, edges)
+
+
 def _flagship_alias_values() -> str:
     """VALUES list of (word, eid) — every alias whose phrase can occur in the
     lowercase corpus (single words; multi-word expansions like 'mr. x' /
     'project x' cannot match and are provably inert)."""
     vals = ", ".join(f"('{name}', '{eid}')" for eid, _t, name in FLAGSHIP_REGISTRY)
     return vals
+
+
+KG_ORPHAN_COUNTS_SQL = f"""
+WITH aliases(word, eid) AS (VALUES {_flagship_alias_values()}),
+hits AS (
+  SELECT d.doc_id, a.eid
+  FROM documents d JOIN aliases a
+    ON regexp_matches(d.text, '\\b' || a.word || '\\b')
+),
+orphan_entities AS (
+  SELECT CASE string_split(eid, '_')[1]
+           WHEN 'emp' THEN 'Employee' WHEN 'proj' THEN 'Project'
+           WHEN 'prod' THEN 'Product' WHEN 'pol' THEN 'Policy'
+           ELSE 'Regulation' END AS node_type
+  FROM (SELECT eid FROM aliases UNION SELECT 'proj_999')
+  WHERE eid NOT IN (SELECT DISTINCT eid FROM hits)
+),
+orphan_docs AS (
+  SELECT 'Document' AS node_type
+  FROM documents
+  WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)
+)
+SELECT node_type, count(*) AS n_orphans
+FROM (SELECT * FROM orphan_entities UNION ALL SELECT * FROM orphan_docs)
+GROUP BY 1
+"""
 
 
 KG_INFERRED_TRIPLES_SQL = f"""
@@ -909,6 +969,7 @@ QUERIES = {
     "kg_inferred_triples": kg_inferred_triples,
     "kg_mentions": kg_mentions,
     "kg_mention_edges": kg_mention_edges,
+    "kg_orphan_counts": kg_orphan_counts,
     "kg_fuzzy_linking": kg_fuzzy_linking,
     "kg_external_entities": kg_external_entities,
     "doc_wordcount": doc_wordcount,
@@ -935,6 +996,7 @@ ORACLES = {
     "kg_inferred_triples": KG_INFERRED_TRIPLES_SQL,
     "kg_mentions": KG_MENTIONS_SQL,
     "kg_mention_edges": KG_MENTION_EDGES_SQL,
+    "kg_orphan_counts": KG_ORPHAN_COUNTS_SQL,
     "kg_fuzzy_linking": KG_FUZZY_LINKING_SQL,
     "kg_external_entities": KG_EXTERNAL_ENTITIES_SQL,
     "doc_wordcount": DOC_WORDCOUNT_SQL,

@@ -28,9 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.extraction import extract_documents
 from ..operators.linking import build_alias_table, resolve_mentions
-from ..operators.mentions import detect_mentions
+from ..operators.mentions import extract_and_detect
 from ..schemas import PAGES
 
 
@@ -63,8 +62,11 @@ def stream_mentions(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = extract_documents(batch_df)
-        raw = detect_mentions(docs, gazetteer).persist()
+        # fused extraction+NER: a micro-batch has no separate documents
+        # consumer, so the html payload crosses JVM↔Python once
+        # (operators/mentions.extract_and_detect; set-equal to the unfused
+        # chain by test)
+        raw = extract_and_detect(batch_df, gazetteer).persist()
         raw.count()
         mentions, _ext = resolve_mentions(raw, aliases, alias_rows)
         # idempotent per-epoch sink (see module docstring): overwrite this
