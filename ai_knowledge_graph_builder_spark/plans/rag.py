@@ -22,6 +22,39 @@ TRIPLE_K = 10  # config/pipeline.yaml:117
 CHUNK_K = 15  # config/pipeline.yaml:118
 MIN_SIMILARITY = 0.15  # config/pipeline.yaml:119
 
+# U7: question words skipped by the person-name heuristic
+# (rag_system.py:467-469)
+_QUESTION_STOPWORDS = frozenset(
+    ["who", "what", "is", "the", "does", "work", "in", "manager",
+     "department", "role", "position", "s", "'s"]
+)
+
+
+def extract_person_name(query: str) -> str | None:
+    """U7: capitalized-word person-name extraction from a question
+    (rag_system.py:460-484): skip question stopwords, keep capitalized
+    words with possessives stripped, return the first two (or one)."""
+    name_words = []
+    for word in query.split():
+        if word.lower() in _QUESTION_STOPWORDS:
+            continue
+        if word and word[0].isupper():
+            name_words.append(word.rstrip("'s"))
+    if len(name_words) >= 2:
+        return " ".join(name_words[:2])
+    return name_words[0] if name_words else None
+
+
+def clean_answer(answer: str) -> str:
+    """P11: answer cleanup (rag_system.py:674-686) — collapse blank lines,
+    strip, capitalize the first character."""
+    import re
+
+    answer = re.sub(r"\n\s*\n+", "\n", answer).strip()
+    if answer and answer[0].islower():
+        answer = answer[0].upper() + answer[1:]
+    return answer
+
 
 class GraphRetriever:
     """Retrieval over the committed KG tables. All inputs are DataFrames;
@@ -71,6 +104,14 @@ class GraphRetriever:
                 .select(F.col("subject_id").alias("id"))
                 .limit(5)
             )
+            # U7: the question's extracted person name seeds the context too
+            # (the reference's direct factual-lookup path, rag_system.py:
+            # 460-484 → 323-341): CONTAINS-match against node names
+            name = extract_person_name(question)
+            if name:
+                ids = ids.unionByName(
+                    self.nodes.filter(F.col("name").contains(name)).select("id").limit(5)
+                ).distinct()
             out["graph_context"] = one_hop_context(self.edges, self.nodes, ids)
         return out
 
@@ -84,7 +125,7 @@ class GraphRetriever:
             return {"answer": None, "confidence": 0.0, "sources": []}
         conf = sum(x["score"] for x in rows) / len(rows)
         return {
-            "answer": rows[0]["text"],
+            "answer": clean_answer(rows[0]["text"]),  # P11 cleanup
             "confidence": round(min(max(conf, 0.0), 1.0), 4),
             "sources": [(x["text"], round(x["score"], 4)) for x in rows],
         }

@@ -110,3 +110,22 @@ def test_retrieval_self_rank1(spark, kg):
     ans = retriever.answer(sample[0]["text"])
     assert ans["answer"] == sample[0]["text"] and ans["confidence"] > 0.15
     assert "graph_context" in retriever.retrieve(sample[0]["text"])
+
+
+def test_question_name_heuristic_and_answer_cleanup():
+    """U7 (rag_system.py:460-484) + P11 (:674-686) semantics, incl. the
+    reference's quirks (rstrip("'s") also trims trailing s/apostrophes)."""
+    from ai_knowledge_graph_builder_spark.plans.rag import clean_answer, extract_person_name
+
+    assert extract_person_name("Who does Alice Johnson report to?") == "Alice Johnson"
+    # faithful reference quirks: whitespace split keeps trailing punctuation,
+    # and rstrip("'s") is a char-set strip that also trims a trailing s
+    assert extract_person_name("who works on Falcon today") == "Falcon"
+    assert extract_person_name("who works on Falcon?") == "Falcon?"
+    assert extract_person_name("What projects does Maria's manager own?") == "Maria"
+    assert extract_person_name("what is the manager role?") is None
+    assert extract_person_name("does Lewis work today") == "Lewi"
+
+    assert clean_answer("  hello\n\n\nworld\n") == "Hello\nworld"
+    assert clean_answer("Already Fine") == "Already Fine"
+    assert clean_answer("") == ""
