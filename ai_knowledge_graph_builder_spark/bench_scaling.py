@@ -173,7 +173,7 @@ def _guarded_run(fn, max_tries: int = 5, steal_budget: float = 0.02,
         frac = (s1 - s0) / max(t1 - t0, 1)
         if best is None or sec < best:
             best, best_steal = sec, frac
-        if frac <= steal_budget and i >= 1:  # at least two tries (min-of-2)
+        if frac <= steal_budget and i >= 2:  # at least three tries (min-of-3)
             return best, best_steal
         _t.sleep(backoff_s if frac > steal_budget else 0)
     return best, best_steal
@@ -247,6 +247,11 @@ def run_thread_scaling(sf_dir: str = "/root/testdata/sf0.1",
                 [sys.executable, "-m", "ai_knowledge_graph_builder_spark.bench_scaling",
                  "probe", str(cpus), str(reps), sf_dir],
                 capture_output=True, text=True, cwd="/root/repo")
+            if p.returncode != 0 or not p.stdout.strip():
+                raise RuntimeError(
+                    f"scaling probe (cpus={cpus}, reps={reps}) died "
+                    f"rc={p.returncode}; stderr tail: {p.stderr[-2000:]}"
+                )
             return json.loads(p.stdout.strip().splitlines()[-1])["sec"]
 
         return _guarded_run(run)

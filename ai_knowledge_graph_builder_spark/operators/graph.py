@@ -30,17 +30,23 @@ def cooccurrence_pairs(mentions_resolved: DataFrame) -> DataFrame:
     """A2+A3: canonical mentions → unordered pair counts (e1 < e2).
     The reference stores both directions (entity_extractor.py:371-372); we
     keep the canonical unordered pair and orient at inference time."""
+    # One hash agg collapses per-doc duplicates into an entity SET, then the
+    # pair expansion is a NARROW double-explode inside the row (bounded: a
+    # doc's distinct entity count, not its mention count) — 2 shuffles total
+    # (this agg + the pair count) vs 3 for the dedup + url-self-join
+    # formulation, and no join at all. At 100 TB the url self-join would
+    # re-shuffle the mention relation twice; this shape touches it once.
     per_doc = (
         mentions_resolved.filter(F.col("resolution_type") == "canonical")
-        .select("url", "resolved_id")
-        .dropDuplicates(["url", "resolved_id"])
+        .groupBy("url")
+        .agg(F.collect_set("resolved_id").alias("ids"))
     )
-    a = per_doc.alias("a")
-    b = per_doc.alias("b")
-    pairs = a.join(b, "url").filter(F.col("a.resolved_id") < F.col("b.resolved_id"))
-    return pairs.groupBy(
-        F.col("a.resolved_id").alias("e1"), F.col("b.resolved_id").alias("e2")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        per_doc.select(F.explode("ids").alias("e1"), "ids")
+        .select("e1", F.explode("ids").alias("e2"))
+        .filter(F.col("e1") < F.col("e2"))
+    )
+    return pairs.groupBy("e1", "e2").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def _rule_columns(src_t, dst_t, cnt):

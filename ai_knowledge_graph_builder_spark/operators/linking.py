@@ -159,19 +159,24 @@ def resolve_mentions(
     m = link_exact(mentions_raw, aliases).persist()
     m.count()
 
-    # per-norm summary: broadcast-sized (distinct surface texts); eagerly
-    # materialized for the same AQE-race reason as `m` above (its two
-    # consumers — fuzzy scoring and the external gate — run concurrently)
+    # per-norm summary: broadcast-sized (distinct surface texts). Persisted —
+    # its two consumers (fuzzy scoring, the external gate) are concurrently
+    # materialized broadcast subtrees — but NOT eagerly counted: it derives
+    # from the already-cached `m`, so the worst case of a cache race is two
+    # threads redoing a tiny hash agg over cached rows, not the upstream UDF
+    # chain. The only eager action on the cold path is m.count() above.
     per_norm = m.groupBy("norm").agg(
         F.count(F.lit(1)).alias("mention_count"),
         F.min(F.struct("url", "mention_idx", "label")).alias("first"),
         F.first("exact_id").alias("norm_exact_id"),  # constant per norm
     ).persist()
-    per_norm.count()
 
+    # persisted for the same reason: `ext` and the final projection both
+    # consume it concurrently; without the cache the difflib scoring pass
+    # runs twice (ADVICE r2)
     scored = score_fuzzy(
         per_norm.filter(F.col("norm_exact_id").isNull()).select("norm"), alias_rows
-    )
+    ).persist()
 
     # A1: external-entity gate over norms that miss exact AND fuzzy
     ext = (

@@ -24,6 +24,7 @@ snapshot; the stage API below is storage-agnostic by design.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -96,12 +97,20 @@ def compute_lineage(
         # partitionBy stages use the nested relative path (predicate=X/part-…)
         # while input_file_name() returns a file:// URI — basename matching
         # would silently miss every file of a partitioned stage.
-        prefix = str(stage_dir.resolve())
+        # try both the resolved and as-given dir strings: input_file_name()
+        # URIs are NOT symlink-resolved, so under a symlinked base dir
+        # (/tmp → /private/tmp style) only the unresolved form matches
+        prefixes = {str(stage_dir.resolve()), str(stage_dir.absolute())}
 
         def _rel(uri: str) -> str:
             p = uri.split("://", 1)[-1] if "://" in uri else uri
-            i = p.find(prefix)
-            return p[i + len(prefix):].lstrip("/") if i >= 0 else p.rsplit("/", 1)[-1]
+            real = os.path.realpath(p)
+            for prefix in prefixes:
+                for cand in (p, real):
+                    i = cand.find(prefix)
+                    if i >= 0:
+                        return cand[i + len(prefix):].lstrip("/")
+            return p.rsplit("/", 1)[-1]
 
         by_split = {_rel(r["split"]): str(r["content_hash"]) for r in content}
         for row in out:

@@ -91,7 +91,7 @@ def generate_golden_queries(corpus: dict[str, pd.DataFrame]) -> pd.DataFrame:
             m = by_id[e["manager_id"]]["full_name"]
             reports[m] = reports.get(m, 0) + 1
     mgrs = sorted(reports)
-    for i in range(min(4, len(mgrs) - 1)):
+    for i in range(len(mgrs) - 1):
         a, b = mgrs[i], mgrs[i + 1]
         want = [a] if reports[a] > reports[b] else [b] if reports[b] > reports[a] else [a, b]
         rows.append(_q(f"cmp_mgr_{i}", "comparative",
@@ -126,21 +126,26 @@ def generate_golden_queries(corpus: dict[str, pd.DataFrame]) -> pd.DataFrame:
     rows.append(_q("neg_2", "negative", "Who works on Project Vaporware?",
                    [], should_succeed=False, qtype="object_subjects",
                    object_name="Vaporware", predicate="WORKS_ON"))
+    rows.append(_q("neg_3", "negative", "Who owns the Imaginary Policy?",
+                   [], should_succeed=False, qtype="object_subjects",
+                   object_name="Imaginary Policy", predicate="OWNS"))
+    rows.append(_q("neg_4", "negative",
+                   "How many projects does Nonexistent Person work on?",
+                   [], should_succeed=False, qtype="subject_count",
+                   subject_name="Nonexistent Person", predicate="WORKS_ON"))
 
     # --- complex: 2-hop manager-projects + project teammates (:620-703) -----
     emp_projects: dict[str, list[str]] = {}
     for a in assignments:
         emp_projects.setdefault(a["employee_id"], []).append(a["project_id"])
-    n_complex = 0
     for e in employees:
         mid = e.get("manager_id")
-        if mid and emp_projects.get(mid) and n_complex < 8:
-            n_complex += 1
+        if mid and emp_projects.get(mid):
             rows.append(_q(f"cx_mgr_{e['id']}", "complex",
                            f"What projects does {e['full_name']}'s manager work on?",
                            {proj_by_id[p]["name"] for p in emp_projects[mid]},
                            qtype="manager_projects", subject_name=e["full_name"]))
-    for e in employees[:8]:
+    for e in employees:
         pids = emp_projects.get(e["id"])
         if not pids:
             continue
@@ -171,9 +176,7 @@ def generate_golden_queries(corpus: dict[str, pd.DataFrame]) -> pd.DataFrame:
             if c["type"] == "project_assignment":
                 planted.setdefault(c["entity"], set()).add(
                     proj_by_id[c["document_value"]]["name"])
-    for i, (eid, projs) in enumerate(sorted(planted.items())):
-        if i >= 6:
-            break
+    for eid, projs in sorted(planted.items()):
         rows.append(_q(f"con_{eid}", "contradiction",
                        f"What contradictory project assignments are flagged for "
                        f"{by_id[eid]['full_name']}?", projs,
@@ -192,17 +195,17 @@ def generate_golden_queries(corpus: dict[str, pd.DataFrame]) -> pd.DataFrame:
     for e in employees:
         first = e["first_name"]
         if e.get("manager_id") and sum(first in n for n in full_names) == 1:
-            rows.append(_q("edge_first", "edge_case", f"Who does {first} report to?",
+            rows.append(_q(f"edge_first_{e['id']}", "edge_case",
+                           f"Who does {first} report to?",
                            [by_id[e["manager_id"]]["full_name"]],
                            qtype="contains_subject", subject_name=first,
                            predicate="REPORTS_TO"))
-            break
-    pol = policies[0]
-    rows.append(_q("edge_case_ci", "edge_case",
-                   f"who owns the {pol['name'].lower()}?",
-                   [by_id[pol["owner_id"]]["full_name"]],
-                   qtype="object_subjects_ci", object_name=pol["name"].lower(),
-                   predicate="OWNS"))
+    for pol in policies:
+        rows.append(_q(f"edge_case_ci_{pol['id']}", "edge_case",
+                       f"who owns the {pol['name'].lower()}?",
+                       [by_id[pol["owner_id"]]["full_name"]],
+                       qtype="object_subjects_ci", object_name=pol["name"].lower(),
+                       predicate="OWNS"))
     return pd.DataFrame(rows)
 
 
@@ -379,3 +382,51 @@ def score_golden(answered: pd.DataFrame) -> dict[str, float]:
         ok = float(got == want) if q["should_succeed"] else float(got == [])
         scores.setdefault(q["category"], []).append(ok)
     return {k: sum(v) / len(v) for k, v in sorted(scores.items())}
+
+
+def score_golden_weighted(answered: pd.DataFrame) -> pd.DataFrame:
+    """validate_rag.py-parity weighted scoring next to exact-match: each
+    answer set is rendered as the extractive sentence the reference scores,
+    then graded 0.40 keywords / 0.30 completeness / 0.20 accuracy / 0.10
+    relevance (plans/scoring.py). A query PASSES when its status matches
+    ``should_succeed`` and the weighted quality clears 0.5 (the reference's
+    per-query gate, validate_rag.py:425-436); the per-category threshold
+    (config/pipeline.yaml:135-143 mapping, default 0.70) applies to the
+    PASS RATE — validate_rag.py:616-628 — not the mean score."""
+    from .scoring import CATEGORY_THRESHOLDS, DEFAULT_THRESHOLD, render_answer, weighted_score
+
+    per_cat: dict[str, dict[str, list[float]]] = {}
+    for q in answered.to_dict("records"):
+        got = sorted(q["answer"]) if isinstance(q["answer"], list) else []
+        want = sorted(q["expected"])
+        exact = float(got == want) if q["should_succeed"] else float(got == [])
+        # status check (validate_rag.py:398-404): success ⇔ found an answer
+        status_ok = bool(got) == bool(q["should_succeed"])
+        # negatives expect the no-info sentence; keywords = expected items
+        expected_text = render_answer(want) if q["should_succeed"] else "N/A - no information"
+        total, _parts = weighted_score(
+            q["question"], render_answer(got), expected_text, keywords=list(want)
+        )
+        passed = status_ok and (total >= 0.5 if q["should_succeed"] else True)
+        d = per_cat.setdefault(q["category"], {"weighted": [], "exact": [], "passed": []})
+        d["weighted"].append(total)
+        d["exact"].append(exact)
+        d["passed"].append(float(passed))
+
+    rows = []
+    for cat in sorted(per_cat):
+        d = per_cat[cat]
+        thr = CATEGORY_THRESHOLDS.get(cat, DEFAULT_THRESHOLD)
+        pass_rate = sum(d["passed"]) / len(d["passed"])
+        exact_rate = sum(d["exact"]) / len(d["exact"])
+        rows.append({
+            "category": cat,
+            "n": len(d["weighted"]),
+            "weighted_score": round(sum(d["weighted"]) / len(d["weighted"]), 4),
+            "pass_rate": round(pass_rate, 4),
+            "exact_match": round(exact_rate, 4),
+            "threshold": thr,
+            "passed_weighted": pass_rate >= thr,
+            "passed_exact": exact_rate >= thr,
+        })
+    return pd.DataFrame(rows)

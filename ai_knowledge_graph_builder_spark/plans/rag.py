@@ -21,6 +21,9 @@ from ..operators.similarity import cosine_topk_join
 TRIPLE_K = 10  # config/pipeline.yaml:117
 CHUNK_K = 15  # config/pipeline.yaml:118
 MIN_SIMILARITY = 0.15  # config/pipeline.yaml:119
+MIN_SOURCES = 1  # rag_system.py:55 (min_sources_threshold)
+CONTRADICTION_PENALTY = 0.15  # rag_system.py:702 (capped at 0.3)
+CSV_BOOST = 0.15  # rag_system.py:706 (capped at 0.30)
 
 # U7: question words skipped by the person-name heuristic
 # (rag_system.py:467-469)
@@ -45,6 +48,44 @@ def extract_person_name(query: str) -> str | None:
     return name_words[0] if name_words else None
 
 
+def detect_contradictions(triples: list[dict], chunks: list[dict]) -> list[dict]:
+    """Contradiction scan over the retrieved items (rag_system.py:569-596):
+    flagged triples (severity high) + chunks whose source document carries
+    contradictions (severity medium)."""
+    out = [
+        {"type": "triple", "severity": "high", "source": t.get("source", "unknown")}
+        for t in triples
+        if t.get("flagged")
+    ]
+    out += [
+        {"type": "chunk", "severity": "medium", "source": c.get("doc_filename", "unknown")}
+        for c in chunks
+        if c.get("has_contradictions")
+    ]
+    return out
+
+
+def calculate_confidence(
+    triples: list[dict], chunks: list[dict], contradictions: list[dict]
+) -> float:
+    """A7 full parity (rag_system.py:688-711): base = mean of the retrieved
+    triples' stored confidences PLUS every retrieved item's similarity score;
+    −0.15 per contradiction capped at 0.3; +0.15 per csv-sourced triple
+    capped at 0.30; clamped to [0, 1], rounded to 3."""
+    if not triples and not chunks:
+        return 0.0
+    triple_confidences = [t.get("confidence", 0.5) for t in triples]
+    similarity_scores = [t.get("similarity_score", 0.5) for t in triples] + [
+        c.get("similarity_score", 0.5) for c in chunks
+    ]
+    pool = triple_confidences + similarity_scores
+    base = sum(pool) / len(pool) if pool else 0.5
+    penalty = min(len(contradictions) * CONTRADICTION_PENALTY, 0.3)
+    csv_count = sum(1 for t in triples if "csv" in str(t.get("source_file", t.get("source", ""))).lower())
+    boost = min(csv_count * CSV_BOOST, 0.30)
+    return max(0.0, min(1.0, round(base - penalty + boost, 3)))
+
+
 def clean_answer(answer: str) -> str:
     """P11: answer cleanup (rag_system.py:674-686) — collapse blank lines,
     strip, capitalize the first character."""
@@ -67,6 +108,7 @@ class GraphRetriever:
         embeddings: DataFrame,
         nodes: DataFrame | None = None,
         edges: DataFrame | None = None,
+        chunk_meta: DataFrame | None = None,
     ):
         self.spark = spark
         self.triples = triples
@@ -74,6 +116,9 @@ class GraphRetriever:
         self.chunk_emb = embeddings.filter(F.col("kind") == "chunk").persist()
         self.nodes = nodes
         self.edges = edges
+        # optional per-chunk document metadata (item_id, doc_filename,
+        # has_contradictions) — feeds contradiction detection (J6 analog)
+        self.chunk_meta = chunk_meta
 
     def _query_df(self, question: str) -> DataFrame:
         vec = encode_texts([question], DIM)[0].tolist()
@@ -115,17 +160,36 @@ class GraphRetriever:
             out["graph_context"] = one_hop_context(self.edges, self.nodes, ids)
         return out
 
-    def answer(self, question: str) -> dict:
+    def answer(self, question: str, min_sources: int = MIN_SOURCES) -> dict:
         """Deterministic extractive answer: the best-ranked triple's natural
-        text + mean similarity confidence (rag_system.py:688-711 analog
-        without the LLM term)."""
+        text, scored with the reference confidence formula
+        (rag_system.py:688-711) — mean of triple confidences + all similarity
+        scores, contradiction penalty, csv-source boost — plus the
+        min-sources sufficiency gate (rag_system.py:211-216, 255-257)."""
         r = self.retrieve(question)
-        rows = r["triples"].limit(3).collect()
-        if not rows:
-            return {"answer": None, "confidence": 0.0, "sources": []}
-        conf = sum(x["score"] for x in rows) / len(rows)
+        trows = [x.asDict() for x in r["triples"].collect()]
+        for t in trows:
+            t["similarity_score"] = t.get("score", 0.5)
+        chunk_df = r["chunks"]
+        if self.chunk_meta is not None:
+            chunk_df = chunk_df.join(F.broadcast(self.chunk_meta), "item_id", "left")
+        crows = [x.asDict() for x in chunk_df.collect()]
+        for c in crows:
+            c["similarity_score"] = c.get("score", 0.5)
+
+        total_sources = len(trows) + len(crows)
+        if total_sources == 0:
+            # no-source response (rag_system.py:215-217)
+            return {"answer": None, "confidence": 0.0, "sources": [],
+                    "contradictions": [], "has_sufficient_sources": False}
+        contradictions = detect_contradictions(trows, crows)
+        conf = calculate_confidence(trows, crows, contradictions)
+        best = min(trows, key=lambda t: t["rank"]) if trows else None
         return {
-            "answer": clean_answer(rows[0]["text"]),  # P11 cleanup
-            "confidence": round(min(max(conf, 0.0), 1.0), 4),
-            "sources": [(x["text"], round(x["score"], 4)) for x in rows],
+            "answer": clean_answer(best["text"]) if best else None,  # P11
+            "confidence": conf,
+            "sources": [(t["text"], round(t["similarity_score"], 4))
+                        for t in sorted(trows, key=lambda t: t["rank"])[:3]],
+            "contradictions": contradictions,
+            "has_sufficient_sources": total_sources >= min_sources,
         }

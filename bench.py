@@ -43,6 +43,28 @@ def _time_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _timed_min_of_n(spark, fn, sf_dir: str, tries: int = 3) -> tuple[float, float]:
+    """min-of-N guarded timing for one query (VERDICT r2 'What's wrong' #4:
+    the single-shot headline recorded 3.32 s for a 1.22 s query under
+    neighbor-VM noise). Each try clears the DataFrame cache first so repeat
+    executions re-run the full plan (persists inside operators would
+    otherwise turn try 2+ into cache reads); /proc/stat steal is sampled
+    around every try and the max observed fraction is published next to the
+    timing so a contaminated number is visible, never silent."""
+    from ai_knowledge_graph_builder_spark.bench_scaling import _steal_snapshot
+
+    best, worst_steal = None, 0.0
+    for _ in range(tries):
+        spark.catalog.clearCache()
+        s0, t0 = _steal_snapshot()
+        sec = _time_query(spark, fn, sf_dir)
+        s1, t1 = _steal_snapshot()
+        worst_steal = max(worst_steal, (s1 - s0) / max(t1 - t0, 1))
+        if best is None or sec < best:
+            best = sec
+    return best, worst_steal
+
+
 def run_bench() -> dict:
     from ai_knowledge_graph_builder_spark.driver_queries import QUERIES
     from ai_knowledge_graph_builder_spark.session import get_spark
@@ -66,8 +88,11 @@ def run_bench() -> dict:
     )
 
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(_time_query(spark, QUERIES[name], sf_dir), 3)
+        sec, steal = _timed_min_of_n(spark, QUERIES[name], sf_dir)
+        timings[name] = round(sec, 3)
+        steals[name] = round(steal, 4)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     kg_sec = timings["kg_inferred_triples"]
@@ -79,6 +104,8 @@ def run_bench() -> dict:
         "value": kg_sec,
         "unit": "sec",
         "queries": timings,
+        "steal_frac": steals,
+        "timing": "min-of-3 per query, cache cleared between tries",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs": n_docs,
         "triples": n_triples,

@@ -86,6 +86,8 @@ def test_golden_queries_perfect_accuracy(spark, kg, corpus):
         "aggregative", "negative", "complex", "semantic", "contradiction",
         "edge_case",
     }, set(golden["category"])
+    # reference volume: 100-200 derived queries (generate_golden_queries.py)
+    assert len(golden) >= 100, len(golden)
     answered = answer_golden_queries(spark, golden, kg["triples"], kg["nodes"])
     scores = score_golden(answered)
     assert scores == {c: 1.0 for c in scores}, scores
@@ -94,6 +96,15 @@ def test_golden_queries_perfect_accuracy(spark, kg, corpus):
     # contradiction surfacing is non-vacuous: flagged triples answered >= 1
     con = answered[(answered["category"] == "contradiction") & answered["should_succeed"]]
     assert len(con) >= 1 and all(len(a) >= 1 for a in con["answer"])
+
+    # weighted validate_rag-parity scorer: every category clears its
+    # reference threshold under BOTH scorers (VERDICT r2 ask #6)
+    from ai_knowledge_graph_builder_spark.plans.golden import score_golden_weighted
+
+    wdf = score_golden_weighted(answered)
+    assert set(wdf["category"]) == set(scores)
+    failing = wdf[~(wdf["passed_weighted"] & wdf["passed_exact"])]
+    assert failing.empty, failing.to_dict("records")
 
 
 def test_retrieval_self_rank1(spark, kg):
@@ -129,3 +140,79 @@ def test_question_name_heuristic_and_answer_cleanup():
     assert clean_answer("  hello\n\n\nworld\n") == "Hello\nworld"
     assert clean_answer("Already Fine") == "Already Fine"
     assert clean_answer("") == ""
+
+
+def test_confidence_formula_parity():
+    """A7 full parity vs a hand-computed oracle (rag_system.py:688-711):
+    base mean over triple confidences + every similarity score, −0.15 per
+    contradiction (cap 0.3), +0.15 per csv-sourced triple (cap 0.30),
+    clamp + round(3). Planted flagged triples and contradiction-carrying
+    chunk docs drive both branches."""
+    from ai_knowledge_graph_builder_spark.plans.rag import (
+        calculate_confidence,
+        detect_contradictions,
+    )
+
+    triples = [
+        {"confidence": 0.9, "similarity_score": 0.8, "flagged": False,
+         "source": "employees.csv"},
+        {"confidence": 0.6, "similarity_score": 0.4, "flagged": True,
+         "source": "memo.txt"},
+    ]
+    chunks = [
+        {"similarity_score": 0.5, "has_contradictions": True,
+         "doc_filename": "notes.docx"},
+    ]
+    contradictions = detect_contradictions(triples, chunks)
+    # one flagged triple (high) + one contradiction-doc chunk (medium)
+    assert [c["severity"] for c in contradictions] == ["high", "medium"]
+
+    base = (0.9 + 0.6 + 0.8 + 0.4 + 0.5) / 5          # 0.64
+    want = round(base - min(2 * 0.15, 0.3) + min(1 * 0.15, 0.30), 3)  # 0.49
+    assert calculate_confidence(triples, chunks, contradictions) == want
+
+    # penalty cap: 3+ contradictions still subtract only 0.3
+    many = contradictions * 2
+    assert calculate_confidence(triples, chunks, many) == want
+    # csv boost cap: 3 csv triples boost only 0.30
+    csv3 = [dict(t, source="a.csv", flagged=False) for t in triples] + [
+        {"confidence": 1.0, "similarity_score": 1.0, "flagged": False,
+         "source": "b.csv"}
+    ]
+    base3 = (sum(t["confidence"] for t in csv3)
+             + sum(t["similarity_score"] for t in csv3)) / 6
+    assert calculate_confidence(csv3, [], []) == round(min(1.0, base3 + 0.30), 3)
+    # empty retrieval → 0.0 (no-source response)
+    assert calculate_confidence([], [], []) == 0.0
+
+
+def test_answer_min_sources_and_contradictions(spark, kg):
+    """The answer() path surfaces the sufficiency gate and contradiction
+    list end-to-end, with chunk metadata joined for chunk-side detection."""
+    from pyspark.sql import functions as F
+
+    docs = kg["documents"]
+    chunks = chunk_documents(docs)
+    emb = embed_triples(kg["triples"]).unionByName(embed_chunks(chunks)).persist()
+    meta = chunks.select(
+        F.col("chunk_id").alias("item_id"),
+        F.col("url").alias("doc_filename"),
+        F.lit(True).alias("has_contradictions"),  # plant: every chunk doc contradicts
+    )
+    retriever = GraphRetriever(
+        spark, kg["triples"], emb, kg["nodes"], kg["edges"], chunk_meta=meta
+    )
+    # query with a CHUNK's own text: self-similarity guarantees ≥1 retrieved
+    # chunk, so the planted chunk-side contradictions must surface
+    qtext = chunks.orderBy("chunk_id").limit(1).collect()[0]["text"]
+    ans = retriever.answer(qtext)
+    assert ans["has_sufficient_sources"] is True
+    n_chunk_contra = sum(1 for c in ans["contradictions"] if c["type"] == "chunk")
+    assert n_chunk_contra >= 1
+    assert 0.0 <= ans["confidence"] <= 1.0
+
+    # triple-side path still answers with the best-ranked triple text
+    sample = kg["triples"].orderBy("subject_id", "predicate", "object_id").limit(1).collect()
+    ans2 = retriever.answer(sample[0]["text"])
+    assert ans2["answer"] == sample[0]["text"]
+    assert ans2["has_sufficient_sources"] is True
