@@ -159,17 +159,31 @@ def resolve_mentions(
     m = link_exact(mentions_raw, aliases).persist()
     m.count()
 
-    # per-norm summary: broadcast-sized (distinct surface texts). Persisted —
-    # its two consumers (fuzzy scoring, the external gate) are concurrently
-    # materialized broadcast subtrees — but NOT eagerly counted: it derives
-    # from the already-cached `m`, so the worst case of a cache race is two
-    # threads redoing a tiny hash agg over cached rows, not the upstream UDF
-    # chain. The only eager action on the cold path is m.count() above.
+    # per-norm summary: broadcast-sized (distinct surface texts). Persisted
+    # AND eagerly materialized: its two consumers (fuzzy scoring, the
+    # external gate) are broadcast subtrees that AQE materializes
+    # CONCURRENTLY in the final job; over a cold cache each racing thread
+    # re-runs the groupBy over the full mention relation. The aggregation
+    # reads the cached `m`, so this is one cheap pass, not a UDF-chain
+    # re-execution.
+    #
+    # First-arrival attribution uses min_by / a 2-field struct min, NOT
+    # min(struct(url, mention_idx, label)): a 3-field struct Min aggregate
+    # drops out of codegen into interpreted per-row ordering and collapses
+    # under allocation/GC contention at high core counts (measured on the
+    # 29M-row scaling relation at local[24]: 14.9-65.8 s for the struct form
+    # vs 2.7 s for this one — and the struct form was SLOWER at 24 cores
+    # than at 6, inverting the scaling curve). (url, mention_idx) is the
+    # unique global arrival key (schemas.py), so min_by over it is exactly
+    # the struct min's first row — label never tie-breaks.
+    arrival = F.struct("url", "mention_idx")
     per_norm = m.groupBy("norm").agg(
         F.count(F.lit(1)).alias("mention_count"),
-        F.min(F.struct("url", "mention_idx", "label")).alias("first"),
+        F.min(arrival).alias("first_arrival"),
+        F.min_by("label", arrival).alias("first_label"),
         F.first("exact_id").alias("norm_exact_id"),  # constant per norm
     ).persist()
+    per_norm.count()
 
     # persisted for the same reason: `ext` and the final projection both
     # consume it concurrently; without the cache the difflib scoring pass
@@ -185,8 +199,8 @@ def resolve_mentions(
         .filter(F.col("mention_count") >= EXTERNAL_ENTITY_THRESHOLD)
         .select(
             "norm",
-            _ext_id_udf()(F.col("norm"), F.col("first.label")).alias("ext_id"),
-            F.col("first.url").alias("first_doc"),
+            _ext_id_udf()(F.col("norm"), F.col("first_label")).alias("ext_id"),
+            F.col("first_arrival.url").alias("first_doc"),
         )
     )
 
