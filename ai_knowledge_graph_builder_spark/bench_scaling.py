@@ -125,9 +125,19 @@ def slice_kg_run(spark, sf_dir: str, replicas: int, rep_offset: int, out_dir: st
     from .operators.mentions import extract_and_detect
 
     mentions_raw = extract_and_detect(pages, flagship_gazetteer(), presalted=True)
+    # column pruning for THIS job: the flagship consumes the resolved
+    # relation only through co-occurrence (url, resolved_id,
+    # resolution_type); mention_idx/label ride along for the linking
+    # aggregation's arrival attribution. The full-width mention sink (text,
+    # offsets, confidences — D1 edges) belongs to the checkpointed pipeline
+    # path, not this query, and carrying it through the cache + the slice
+    # write was pure non-scaling byte traffic (the write stage measured
+    # SLOWER at 24 cores than 6).
+    mentions_raw = mentions_raw.select("url", "mention_idx", "text", "label")
     aliases = build_alias_table(flagship_registry_df(spark))
     mentions, _ = resolve_mentions(mentions_raw, aliases)
-    mentions.write.mode("overwrite").parquet(out_dir)
+    mentions.select("url", "resolved_id", "resolution_type").write.mode(
+        "overwrite").parquet(out_dir)
     n = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * replicas
     return n
 
@@ -207,8 +217,13 @@ def _probe_main(cpus: str, reps: int, sf_dir: str) -> None:
 
     from .session import get_spark
 
+    # ParallelGC for the probe JVM (both widths — same job, same config):
+    # G1's concurrent/refinement threads contend with 24 task threads on
+    # this fully-subscribed guest; A/B best-of-3 at local[24]: 49.1 s (G1)
+    # vs 41.5 s (ParallelGC) at matched steal, no change at local[6].
     spark = get_spark(f"kg-probe-{cpus}-{reps}", master=f"local[{cpus}]",
-                      extra_conf={"spark.local.dir": "/dev/shm/spark-probe"})
+                      extra_conf={"spark.local.dir": "/dev/shm/spark-probe",
+                                  "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"})
     spark.sparkContext.setLogLevel("ERROR")
     t0 = _t.perf_counter()
     slice_kg_run(spark, sf_dir, reps, 0, "/dev/shm/probe-out")
@@ -281,6 +296,107 @@ def run_thread_scaling(sf_dir: str = "/root/testdata/sf0.1",
     shutil.rmtree("/dev/shm/probe-out", ignore_errors=True)
     shutil.rmtree("/dev/shm/spark-probe", ignore_errors=True)
     return res
+
+
+def _spinner_ceiling(n: int, seconds: float = 8.0) -> float:
+    """Attainable-CPU probe: n pure-Python spinner processes for ``seconds``;
+    returns total iterations. No memory traffic, no JVM — measures how much
+    CPU the hypervisor actually delivers to an n-wide burst RIGHT NOW.
+    Measured: an idle-guest 24-wide burst can see 0.8% steal in one window
+    and 19% in another purely from neighbor-VM load — the host's slack for
+    wide bursts is time-varying, so any honest N-vs-4N number must carry the
+    same-window ceiling next to it."""
+    import multiprocessing as mp
+    import time as _t
+
+    def spin(q, t_end):
+        k = 0
+        while _t.perf_counter() < t_end:
+            for _ in range(10000):
+                k += 1
+        q.put(k)
+
+    q = mp.Queue()
+    t_end = _t.perf_counter() + seconds
+    ps = [mp.Process(target=spin, args=(q, t_end)) for _ in range(n)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return float(sum(q.get() for _ in ps))
+
+
+def run_paired_scaling(sf_dir: str = "/root/testdata/sf0.1",
+                       sizes: tuple[int, ...] = (160, 320),
+                       n_cores: int = 6,
+                       cycles: int = 5) -> dict:
+    """Interleaved-pairs protocol for the N-vs-4N criterion on a shared
+    host. Each cycle measures, back-to-back inside ONE host-noise window:
+
+      1. the attainable ceiling (6p vs 24p spinner burst — what the
+         hypervisor will actually deliver to this guest right now), then
+      2. the Spark job's marginal throughput at local[N] and local[4N]
+         (two input sizes each, fresh process per point).
+
+    Per-cycle output: raw Spark efficiency, same-window attainable
+    efficiency, and their ratio (``normalized`` — how much of the
+    host-attainable scaling the ENGINE achieves). The published headline is
+    the median over cycles. Rationale: the hosts's slack for 24-wide bursts
+    swings 0.77-0.97 over tens of minutes (measured), and the all-points-
+    then-all-points protocol lets that swing land entirely on one side;
+    pairing inside a window cancels it to first order."""
+    import json
+    import shutil
+    import statistics
+    import subprocess
+    import sys
+
+    def probe(cpus: int, reps: int) -> tuple[float, float]:
+        shutil.rmtree("/dev/shm/probe-out", ignore_errors=True)
+        shutil.rmtree("/dev/shm/spark-probe", ignore_errors=True)
+        s0, t0 = _steal_snapshot()
+        p = subprocess.run(
+            [sys.executable, "-m", "ai_knowledge_graph_builder_spark.bench_scaling",
+             "probe", str(cpus), str(reps), sf_dir],
+            capture_output=True, text=True, cwd="/root/repo")
+        s1, t1 = _steal_snapshot()
+        if p.returncode != 0 or not p.stdout.strip():
+            raise RuntimeError(f"probe died rc={p.returncode}: {p.stderr[-2000:]}")
+        sec = json.loads(p.stdout.strip().splitlines()[-1])["sec"]
+        return sec, (s1 - s0) / max(t1 - t0, 1)
+
+    base = _base_docs(sf_dir)
+    lo, hi = sizes
+    out: dict = {"sf_dir": sf_dir, "cycles": [],
+                 "method": f"interleaved pairs: per-cycle spinner ceiling + "
+                           f"local[{n_cores}]/local[{4*n_cores}] marginal "
+                           f"({base*lo} vs {base*hi} docs); median over cycles"}
+    for _ in range(cycles):
+        ceil_n = _spinner_ceiling(n_cores)
+        ceil_4n = _spinner_ceiling(4 * n_cores)
+        attainable = ceil_4n / ceil_n / 4.0
+        cyc = {"attainable": round(attainable, 3)}
+        marg = {}
+        for cpus in (n_cores, 4 * n_cores):
+            t_lo, st_lo = probe(cpus, lo)
+            t_hi, st_hi = probe(cpus, hi)
+            marg[cpus] = base * (hi - lo) / max(t_hi - t_lo, 1e-9)
+            cyc[f"c{cpus}"] = {"lo_s": round(t_lo, 2), "hi_s": round(t_hi, 2),
+                               "steal": [round(st_lo, 4), round(st_hi, 4)],
+                               "marginal_docs_per_sec": round(marg[cpus], 1)}
+        eff = marg[4 * n_cores] / (4 * marg[n_cores])
+        cyc["efficiency"] = round(eff, 3)
+        cyc["normalized"] = round(eff / max(attainable, 1e-9), 3)
+        out["cycles"].append(cyc)
+    effs = [c["efficiency"] for c in out["cycles"]]
+    norms = [c["normalized"] for c in out["cycles"]]
+    out["metric"] = "scaling_efficiency_N_to_4N"
+    out["value"] = round(statistics.median(effs), 3)
+    out["median_normalized"] = round(statistics.median(norms), 3)
+    out["median_attainable"] = round(statistics.median(
+        [c["attainable"] for c in out["cycles"]]), 3)
+    out["unit"] = "ratio"
+    return out
 
 
 def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",

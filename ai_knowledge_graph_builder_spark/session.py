@@ -50,6 +50,11 @@ def get_spark(
         # managed-table warehouse outside the repo (bucketed graph tables)
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kg-spark-warehouse"))
     )
+    # optional JVM flags (e.g. GC choice) for A/B runs: the local-mode JVM
+    # is forked at getOrCreate, so driver extraJavaOptions apply cleanly
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -129,6 +129,10 @@ def run_scaling(jvms: bool = False) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if jvms:
         return run_cluster_scaling(sf_dir=sf_dir)
+    if "--paired" in sys.argv:
+        from ai_knowledge_graph_builder_spark.bench_scaling import run_paired_scaling
+
+        return run_paired_scaling(sf_dir=sf_dir)
     return run_thread_scaling(sf_dir=sf_dir)
 
 
