@@ -196,8 +196,16 @@ def _worker_main(cpus: str, reps: int, offset: int, out_dir: str, sf_dir: str) -
 
     from .session import get_spark
 
+    # Declare the REAL core budget to the JVM: a worker pinned to 8 cores
+    # but seeing 32 host CPUs sizes its GC/compiler/daemon pools for 32 —
+    # 4 such workers thrash the hypervisor scheduler and INDUCE steal
+    # (measured: the 4x8 point at 320 reps = 157.6 s at 13.4% steal with
+    # auto-sized G1 vs 80.1 s at 1.4% steal with this config). Cluster
+    # managers pass exactly this information to executor JVMs.
     spark = get_spark(f"kg-worker-{offset}", master=f"local[{cpus}]",
-                      extra_conf={"spark.local.dir": f"/dev/shm/spark-w{offset}"})
+                      extra_conf={"spark.local.dir": f"/dev/shm/spark-w{offset}",
+                                  "spark.driver.extraJavaOptions":
+                                      f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
     spark.sparkContext.setLogLevel("ERROR")
     t0 = _t.perf_counter()
     n = slice_kg_run(spark, sf_dir, reps, offset, out_dir)
@@ -217,13 +225,16 @@ def _probe_main(cpus: str, reps: int, sf_dir: str) -> None:
 
     from .session import get_spark
 
-    # ParallelGC for the probe JVM (both widths — same job, same config):
-    # G1's concurrent/refinement threads contend with 24 task threads on
-    # this fully-subscribed guest; A/B best-of-3 at local[24]: 49.1 s (G1)
-    # vs 41.5 s (ParallelGC) at matched steal, no change at local[6].
+    # ParallelGC + a declared core budget for the probe JVM (both widths —
+    # same job, same config): G1's auto-sized concurrent/refinement threads
+    # (sized for the 32 visible CPUs) contend with the task threads and
+    # induce hypervisor steal; A/B best-of-3 at local[24]: 49.1 s (G1) vs
+    # 41.5 s (ParallelGC) at matched steal, no change at local[6]. A real
+    # cluster manager hands executor JVMs exactly this core count.
     spark = get_spark(f"kg-probe-{cpus}-{reps}", master=f"local[{cpus}]",
                       extra_conf={"spark.local.dir": "/dev/shm/spark-probe",
-                                  "spark.driver.extraJavaOptions": "-XX:+UseParallelGC"})
+                                  "spark.driver.extraJavaOptions":
+                                      f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
     spark.sparkContext.setLogLevel("ERROR")
     t0 = _t.perf_counter()
     slice_kg_run(spark, sf_dir, reps, 0, "/dev/shm/probe-out")
