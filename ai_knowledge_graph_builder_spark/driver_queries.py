@@ -537,6 +537,55 @@ def _flagship_eid_by_idx_values() -> str:
     return ", ".join(f"({i}, '{eid}')" for i, (eid, _t, _n) in enumerate(FLAGSHIP_REGISTRY))
 
 
+def kg_triple_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 triple-summary counts (entity_extractor.py:532-537) under driver-
+    oracle coverage: the REAL triple_summary aggregate over the union of
+    three independently-oracled edge families — D1 NER MENTIONS edges
+    (conf 0.95), A4 inferred edges, and J4 SENT/SENT_TO edges (conf 1.0,
+    the ground-truth bucket). Each family's oracle SQL is reused as a CTE,
+    so a count drifting in ANY family flips this query's hash too."""
+    from .operators.edges_full import mention_edges, sent_edges
+    from .operators.graph import cooccurrence_pairs as _cooccur, infer_edges as _infer
+
+    mentions_raw = flagship_mentions_raw(spark, sf_dir)
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    m_edges = mention_edges(mentions)
+    inferred = _infer(_cooccur(mentions), _empty_edges(spark))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    emails = docs.filter(did % 5 == 2).select(
+        F.format_string("doc://%08d", did).alias("url"),
+        F.format_string("u%d@corp.example", (did * 7) % 3000).alias("from_email"),
+        F.format_string("u%d@corp.example", (did * 13 + 5) % 3000).alias("to_email"),
+        F.format_string("2025-01-%02dT00:00:00", did % 28 + 1).alias("ts"),
+        F.format_string("subject %d", did).alias("subject"),
+    )
+    employees = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.format_string("emp_%d", "c_custkey").alias("id"),
+        F.format_string("u%d@corp.example", "c_custkey").alias("email"),
+    )
+    s_edges = sent_edges(emails, employees)
+
+    from .operators.graph_queries import triple_summary
+
+    cols = ["src", "predicate", "dst", "confidence", "source", "flagged", "inferred", "props"]
+    edges = (
+        m_edges.select(*cols)
+        .unionByName(inferred.select(*cols))
+        .unionByName(s_edges.select(*cols))
+    )
+    s = triple_summary(edges)
+    return s.select(
+        F.col("total").cast("long").alias("total"),
+        F.col("ground_truth").cast("long").alias("ground_truth"),
+        F.col("inferred").cast("long").alias("inferred"),
+        F.col("flagged").cast("long").alias("flagged"),
+    )
+
+
 KG_METADATA_MENTIONS_SQL = f"""
 WITH registry(idx, eid) AS (VALUES {_flagship_eid_by_idx_values()})
 SELECT d.doc_id, r.eid AS entity_id,
@@ -544,6 +593,65 @@ SELECT d.doc_id, r.eid AS entity_id,
        ROUND(0.9, 4)::DOUBLE AS confidence
 FROM documents d JOIN registry r ON r.idx = d.doc_id % 11
 WHERE d.doc_id % 7 = 3
+"""
+
+
+def kg_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 1-hop context expansion (rag_system.py:531-567) under driver-
+    oracle coverage: the REAL one_hop_context operator over the flagship's
+    inferred edge set, seeded with every registry entity, k=2 so the per-
+    entity cap actually truncates (several subjects carry >2 edges)."""
+    from .operators.graph import cooccurrence_pairs as _cooccur, infer_edges as _infer, registry_nodes
+    from .operators.graph_queries import one_hop_context
+
+    mentions_raw = flagship_mentions_raw(spark, sf_dir)
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    inferred = _infer(_cooccur(mentions), _empty_edges(spark))
+    nodes = registry_nodes(registry)
+    ids = registry.select(F.col("entity_id").alias("id"))
+    hop = one_hop_context(inferred, nodes, ids, k=2)
+    return hop.select(
+        "src", "src_name", "predicate", "dst", "dst_name",
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+def _flagship_name_values() -> str:
+    return ", ".join(f"('{eid}', '{name}')" for eid, _t, name in FLAGSHIP_REGISTRY)
+
+
+def _one_hop_sql() -> str:
+    return f"""
+WITH inf AS ({{inferred}}),
+names(id, name) AS (VALUES {_flagship_name_values()}),
+ranked AS (
+  SELECT subject_id AS src, predicate, object_id AS dst, confidence,
+         row_number() OVER (PARTITION BY subject_id
+                            ORDER BY predicate, object_id) AS rn
+  FROM inf
+)
+SELECT r.src, ns.name AS src_name, r.predicate, r.dst, nd.name AS dst_name,
+       ROUND(r.confidence, 4)::DOUBLE AS confidence
+FROM ranked r
+JOIN names ns ON ns.id = r.src
+JOIN names nd ON nd.id = r.dst
+WHERE rn <= 2
+"""
+
+
+def _triple_summary_sql() -> str:
+    return """
+WITH counts AS (
+  SELECT
+    (SELECT count(*) FROM ({mentions})) AS m,
+    (SELECT count(*) FROM ({inferred})) AS i,
+    (SELECT count(*) FROM ({sent})) AS s
+)
+SELECT (m + i + s)::BIGINT AS total, s::BIGINT AS ground_truth,
+       i::BIGINT AS inferred, 0::BIGINT AS flagged
+FROM counts
 """
 
 
@@ -1094,6 +1202,8 @@ QUERIES = {
     "kg_external_entities": kg_external_entities,
     "kg_sent_edges": kg_sent_edges,
     "kg_metadata_mentions": kg_metadata_mentions,
+    "kg_triple_summary": kg_triple_summary,
+    "kg_one_hop": kg_one_hop,
     "doc_wordcount": doc_wordcount,
     "chunk_boundaries": chunk_boundaries,
     "exact_dedup": exact_dedup,
@@ -1123,6 +1233,10 @@ ORACLES = {
     "kg_external_entities": KG_EXTERNAL_ENTITIES_SQL,
     "kg_sent_edges": KG_SENT_EDGES_SQL,
     "kg_metadata_mentions": KG_METADATA_MENTIONS_SQL,
+    "kg_triple_summary": _triple_summary_sql().format(
+        mentions=KG_MENTION_EDGES_SQL, inferred=KG_INFERRED_TRIPLES_SQL,
+        sent=KG_SENT_EDGES_SQL),
+    "kg_one_hop": _one_hop_sql().format(inferred=KG_INFERRED_TRIPLES_SQL),
     "doc_wordcount": DOC_WORDCOUNT_SQL,
     "chunk_boundaries": CHUNK_BOUNDARIES_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,
