@@ -337,8 +337,78 @@ def _spinner_ceiling(n: int, seconds: float = 8.0) -> float:
     return float(sum(q.get() for _ in ps))
 
 
+def _paired_probe(sf_dir: str, cpus: int, reps: int) -> tuple[float, float]:
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    shutil.rmtree("/dev/shm/probe-out", ignore_errors=True)
+    shutil.rmtree("/dev/shm/spark-probe", ignore_errors=True)
+    s0, t0 = _steal_snapshot()
+    p = subprocess.run(
+        [sys.executable, "-m", "ai_knowledge_graph_builder_spark.bench_scaling",
+         "probe", str(cpus), str(reps), sf_dir],
+        capture_output=True, text=True, cwd="/root/repo")
+    s1, t1 = _steal_snapshot()
+    if p.returncode != 0 or not p.stdout.strip():
+        raise RuntimeError(f"probe died rc={p.returncode}: {p.stderr[-2000:]}")
+    sec = json.loads(p.stdout.strip().splitlines()[-1])["sec"]
+    return sec, (s1 - s0) / max(t1 - t0, 1)
+
+
+def one_paired_cycle(sf_dir: str, sizes: tuple[int, int], n_cores: int,
+                     base: int) -> dict:
+    """One interleaved cycle: spinner ceiling, then lo/hi-size Spark probes
+    at local[N] and local[4N], all inside one host-noise window. A cycle
+    whose hi-size run came back FASTER than the lo-size run (timing inverted
+    by noise) is marked ``invalid`` rather than clamped — the old
+    max(Δt, 1e-9) clamp turned such cycles into absurd ~1e12 marginal
+    throughputs that silently poisoned the median."""
+    lo, hi = sizes
+    ceil_n = _spinner_ceiling(n_cores)
+    ceil_4n = _spinner_ceiling(4 * n_cores)
+    attainable = ceil_4n / ceil_n / 4.0
+    cyc: dict = {"attainable": round(attainable, 3)}
+    marg = {}
+    for cpus in (n_cores, 4 * n_cores):
+        t_lo, st_lo = _paired_probe(sf_dir, cpus, lo)
+        t_hi, st_hi = _paired_probe(sf_dir, cpus, hi)
+        cyc[f"c{cpus}"] = {"lo_s": round(t_lo, 2), "hi_s": round(t_hi, 2),
+                           "steal": [round(st_lo, 4), round(st_hi, 4)]}
+        if t_hi <= t_lo:
+            cyc["invalid"] = f"non-monotone timing at {cpus} cores (hi<=lo)"
+            return cyc
+        marg[cpus] = base * (hi - lo) / (t_hi - t_lo)
+        cyc[f"c{cpus}"]["marginal_docs_per_sec"] = round(marg[cpus], 1)
+    eff = marg[4 * n_cores] / (4 * marg[n_cores])
+    cyc["efficiency"] = round(eff, 3)
+    cyc["normalized"] = round(eff / max(attainable, 1e-9), 3)
+    return cyc
+
+
+def summarize_paired_cycles(cycles: list[dict]) -> dict:
+    import statistics
+
+    valid = [c for c in cycles if "invalid" not in c]
+    out: dict = {"metric": "scaling_efficiency_N_to_4N", "unit": "ratio",
+                 "n_cycles": len(cycles), "n_valid": len(valid)}
+    if valid:
+        effs = sorted(c["efficiency"] for c in valid)
+        norms = sorted(c["normalized"] for c in valid)
+        q = lambda xs, p: xs[min(len(xs) - 1, int(p * len(xs)))]
+        out["value"] = round(statistics.median(effs), 3)
+        out["iqr"] = [round(q(effs, 0.25), 3), round(q(effs, 0.75), 3)]
+        out["median_normalized"] = round(statistics.median(norms), 3)
+        out["normalized_iqr"] = [round(q(norms, 0.25), 3), round(q(norms, 0.75), 3)]
+        out["median_attainable"] = round(statistics.median(
+            [c["attainable"] for c in valid]), 3)
+        out["best_efficiency"] = effs[-1]
+    return out
+
+
 def run_paired_scaling(sf_dir: str = "/root/testdata/sf0.1",
-                       sizes: tuple[int, ...] = (160, 320),
+                       sizes: tuple[int, int] = (160, 320),
                        n_cores: int = 6,
                        cycles: int = 5) -> dict:
     """Interleaved-pairs protocol for the N-vs-4N criterion on a shared
@@ -352,62 +422,63 @@ def run_paired_scaling(sf_dir: str = "/root/testdata/sf0.1",
     Per-cycle output: raw Spark efficiency, same-window attainable
     efficiency, and their ratio (``normalized`` — how much of the
     host-attainable scaling the ENGINE achieves). The published headline is
-    the median over cycles. Rationale: the hosts's slack for 24-wide bursts
-    swings 0.77-0.97 over tens of minutes (measured), and the all-points-
-    then-all-points protocol lets that swing land entirely on one side;
-    pairing inside a window cancels it to first order."""
-    import json
-    import shutil
-    import statistics
-    import subprocess
-    import sys
-
-    def probe(cpus: int, reps: int) -> tuple[float, float]:
-        shutil.rmtree("/dev/shm/probe-out", ignore_errors=True)
-        shutil.rmtree("/dev/shm/spark-probe", ignore_errors=True)
-        s0, t0 = _steal_snapshot()
-        p = subprocess.run(
-            [sys.executable, "-m", "ai_knowledge_graph_builder_spark.bench_scaling",
-             "probe", str(cpus), str(reps), sf_dir],
-            capture_output=True, text=True, cwd="/root/repo")
-        s1, t1 = _steal_snapshot()
-        if p.returncode != 0 or not p.stdout.strip():
-            raise RuntimeError(f"probe died rc={p.returncode}: {p.stderr[-2000:]}")
-        sec = json.loads(p.stdout.strip().splitlines()[-1])["sec"]
-        return sec, (s1 - s0) / max(t1 - t0, 1)
-
+    the median over VALID cycles (noise-inverted timings are discarded, not
+    clamped). Rationale: the host's slack for 24-wide bursts swings
+    0.77-0.97 over tens of minutes (measured), and the all-points-then-
+    all-points protocol lets that swing land entirely on one side; pairing
+    inside a window cancels it to first order."""
     base = _base_docs(sf_dir)
-    lo, hi = sizes
     out: dict = {"sf_dir": sf_dir, "cycles": [],
                  "method": f"interleaved pairs: per-cycle spinner ceiling + "
                            f"local[{n_cores}]/local[{4*n_cores}] marginal "
-                           f"({base*lo} vs {base*hi} docs); median over cycles"}
+                           f"({base*sizes[0]} vs {base*sizes[1]} docs); "
+                           "median over valid cycles"}
     for _ in range(cycles):
-        ceil_n = _spinner_ceiling(n_cores)
-        ceil_4n = _spinner_ceiling(4 * n_cores)
-        attainable = ceil_4n / ceil_n / 4.0
-        cyc = {"attainable": round(attainable, 3)}
-        marg = {}
-        for cpus in (n_cores, 4 * n_cores):
-            t_lo, st_lo = probe(cpus, lo)
-            t_hi, st_hi = probe(cpus, hi)
-            marg[cpus] = base * (hi - lo) / max(t_hi - t_lo, 1e-9)
-            cyc[f"c{cpus}"] = {"lo_s": round(t_lo, 2), "hi_s": round(t_hi, 2),
-                               "steal": [round(st_lo, 4), round(st_hi, 4)],
-                               "marginal_docs_per_sec": round(marg[cpus], 1)}
-        eff = marg[4 * n_cores] / (4 * marg[n_cores])
-        cyc["efficiency"] = round(eff, 3)
-        cyc["normalized"] = round(eff / max(attainable, 1e-9), 3)
-        out["cycles"].append(cyc)
-    effs = [c["efficiency"] for c in out["cycles"]]
-    norms = [c["normalized"] for c in out["cycles"]]
-    out["metric"] = "scaling_efficiency_N_to_4N"
-    out["value"] = round(statistics.median(effs), 3)
-    out["median_normalized"] = round(statistics.median(norms), 3)
-    out["median_attainable"] = round(statistics.median(
-        [c["attainable"] for c in out["cycles"]]), 3)
-    out["unit"] = "ratio"
+        out["cycles"].append(one_paired_cycle(sf_dir, sizes, n_cores, base))
+    out.update(summarize_paired_cycles(out["cycles"]))
     return out
+
+
+def _host_busy() -> bool:
+    """True when a dev workload (pytest / bench.py headline run) owns the
+    cores — the accumulation daemon must not measure through it. The
+    daemon's own probe children don't match these patterns."""
+    import subprocess
+
+    r = subprocess.run(["pgrep", "-f", r"pytest|bench\.py"],
+                       capture_output=True, text=True)
+    return bool(r.stdout.strip())
+
+
+def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
+                      sf_dir: str = "/root/testdata/sf0.1",
+                      sizes: tuple[int, int] = (160, 320),
+                      n_cores: int = 6,
+                      max_cycles: int = 1000) -> None:
+    """Accumulation mode: run paired cycles back-to-back for as long as the
+    round lasts, appending each cycle as one JSON line. Skips (sleeps)
+    while a dev workload is running so cycles aren't contaminated by our
+    own pytest/bench jobs; a busy-check is repeated AFTER each cycle and
+    the cycle flagged if the window was dirty. Aggregate at publish time
+    with ``summarize_paired_cycles`` over the JSONL."""
+    import json
+    import time as _t
+
+    base = _base_docs(sf_dir)
+    done = 0
+    while done < max_cycles:
+        if _host_busy():
+            _t.sleep(20)
+            continue
+        try:
+            cyc = one_paired_cycle(sf_dir, sizes, n_cores, base)
+        except RuntimeError as e:
+            cyc = {"invalid": f"probe error: {e}"[:300]}
+        if _host_busy():
+            cyc["invalid"] = cyc.get("invalid") or "dev workload appeared mid-cycle"
+        with open(jsonl_path, "a") as f:
+            f.write(json.dumps(cyc) + "\n")
+        done += 1
 
 
 def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
@@ -481,6 +552,15 @@ if __name__ == "__main__":
         _worker_main(_sys.argv[2], int(_sys.argv[3]), int(_sys.argv[4]), _sys.argv[5], _sys.argv[6])
     elif len(_sys.argv) > 1 and _sys.argv[1] == "probe":
         _probe_main(_sys.argv[2], int(_sys.argv[3]), _sys.argv[4])
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "daemon":
+        run_paired_daemon(*_sys.argv[2:3])
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "summarize":
+        import json as _json
+
+        with open(_sys.argv[2] if len(_sys.argv) > 2
+                  else "/root/repo/.scaling_cycles.jsonl") as _f:
+            _cycles = [_json.loads(line) for line in _f if line.strip()]
+        print(_json.dumps(summarize_paired_cycles(_cycles), indent=2))
     elif "--jvms" in _sys.argv:
         import json as _json
 

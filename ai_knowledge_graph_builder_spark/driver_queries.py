@@ -513,11 +513,12 @@ def kg_metadata_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     did = F.col("doc_id")
     eids = F.array(*[F.lit(eid) for eid, _t, _n in FLAGSHIP_REGISTRY])
+    n_reg = len(FLAGSHIP_REGISTRY)
     doc_meta = docs.filter(did % 7 == 3).select(
         F.format_string("doc://%08d", did).alias("url"),
         F.array(
             F.struct(
-                F.element_at(eids, (did % 11 + 1).cast("int")).alias("id"),
+                F.element_at(eids, (did % n_reg + 1).cast("int")).alias("id"),
                 F.format_string("decl %d", did).alias("mention_text"),
             ),
             F.struct(F.lit("ghost_404").alias("id"), F.lit("phantom").alias("mention_text")),
@@ -591,7 +592,7 @@ WITH registry(idx, eid) AS (VALUES {_flagship_eid_by_idx_values()})
 SELECT d.doc_id, r.eid AS entity_id,
        printf('decl %d', d.doc_id) AS mention_text,
        ROUND(0.9, 4)::DOUBLE AS confidence
-FROM documents d JOIN registry r ON r.idx = d.doc_id % 11
+FROM documents d JOIN registry r ON r.idx = d.doc_id % {len(FLAGSHIP_REGISTRY)}
 WHERE d.doc_id % 7 = 3
 """
 

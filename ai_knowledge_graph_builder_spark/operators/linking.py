@@ -123,16 +123,39 @@ def _ext_id_udf():
     return F.pandas_udf(f, "string")
 
 
+#: Above this many distinct UNRESOLVED norms, the fuzzy-score / external
+#: side-outputs stop being broadcast back onto the mention relation and the
+#: join-backs switch to shuffle (sort-merge) joins on ``norm``. The
+#: gazetteer RuleNER bounds distinct norms by the dictionary, so every
+#: current fixture sits far below this — but the production path is
+#: open-vocabulary NER over web text, where distinct unresolved surface
+#: forms grow with the corpus and broadcasting that relation OOMs the
+#: driver at 100 TB. ~500k rows × ~100 B/row ≈ the session's 64 MB
+#: autoBroadcastJoinThreshold. Override with SPARK_GRAFT_NORM_BROADCAST_LIMIT.
+NORM_BROADCAST_LIMIT = 500_000
+
+
 def resolve_mentions(
     mentions_raw: DataFrame,
     aliases: DataFrame,
     alias_rows: list[tuple[str, str, int]] | None = None,
+    broadcast_norm_limit: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full J2→J3→A1 resolution. Returns (mentions_resolved, external_nodes).
 
     ``alias_rows`` lets callers avoid a re-collect when they already hold the
     alias table driver-side; otherwise it is collected here (broadcast-sized
-    by construction — it is the reference's in-memory dict)."""
+    by construction — it is the reference's in-memory dict).
+
+    ``broadcast_norm_limit`` guards the join-back strategy for the
+    distinct-norm side outputs (see NORM_BROADCAST_LIMIT); pass 0 to force
+    shuffle joins (used by tests and open-vocabulary corpora)."""
+    import os
+
+    if broadcast_norm_limit is None:
+        broadcast_norm_limit = int(
+            os.environ.get("SPARK_GRAFT_NORM_BROADCAST_LIMIT", NORM_BROADCAST_LIMIT)
+        )
     if alias_rows is None:
         alias_rows = [
             (r["alias"], r["entity_id"], r["insertion_idx"])
@@ -185,17 +208,30 @@ def resolve_mentions(
     ).persist()
     per_norm.count()
 
+    # Size guard for the norm-keyed side outputs: `scored` and `ext` have at
+    # most one row per distinct UNRESOLVED norm. With the gazetteer NER that
+    # set is dictionary-bounded and the broadcast join-backs below are the
+    # right plan (zero shuffle on the mention relation). With open-vocabulary
+    # NER (the production spaCy path, entity_extractor.py:169-190) distinct
+    # unresolved surface forms are corpus-proportional — broadcasting them
+    # would OOM the driver at 100 TB — so above the limit the join-backs
+    # become sort-merge joins on norm. The count is one pass over the
+    # already-persisted per_norm aggregate, effectively free.
+    unresolved = per_norm.filter(F.col("norm_exact_id").isNull())
+    norms_fit_broadcast = unresolved.count() <= broadcast_norm_limit
+
+    def _dim(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if norms_fit_broadcast else df.hint("merge")
+
     # persisted for the same reason: `ext` and the final projection both
     # consume it concurrently; without the cache the difflib scoring pass
     # runs twice (ADVICE r2)
-    scored = score_fuzzy(
-        per_norm.filter(F.col("norm_exact_id").isNull()).select("norm"), alias_rows
-    ).persist()
+    scored = score_fuzzy(unresolved.select("norm"), alias_rows).persist()
 
     # A1: external-entity gate over norms that miss exact AND fuzzy
     ext = (
-        per_norm.filter(F.col("norm_exact_id").isNull())
-        .join(F.broadcast(scored.filter(F.col("fuzzy_id").isNull()).select("norm")), "norm")
+        unresolved
+        .join(_dim(scored.filter(F.col("fuzzy_id").isNull()).select("norm")), "norm")
         .filter(F.col("mention_count") >= EXTERNAL_ENTITY_THRESHOLD)
         .select(
             "norm",
@@ -205,8 +241,8 @@ def resolve_mentions(
     )
 
     resolved = (
-        m.join(F.broadcast(scored), "norm", "left")
-        .join(F.broadcast(ext.select("norm", "ext_id")), "norm", "left")
+        m.join(_dim(scored), "norm", "left")
+        .join(_dim(ext.select("norm", "ext_id")), "norm", "left")
         .withColumn("resolved_id", F.coalesce("exact_id", "fuzzy_id", "ext_id"))
         .filter(F.col("resolved_id").isNotNull())
         .select(

@@ -51,10 +51,17 @@ def get_spark(
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kg-spark-warehouse"))
     )
     # optional JVM flags (e.g. GC choice) for A/B runs: the local-mode JVM
-    # is forked at getOrCreate, so driver extraJavaOptions apply cleanly
+    # is forked at getOrCreate, so driver extraJavaOptions apply cleanly.
+    # Env opts MERGE with (and precede) any caller-passed extraJavaOptions —
+    # the scaling worker/probe JVMs pass their own flags via extra_conf and
+    # must not silently discard the env-provided A/B flags; caller flags come
+    # last so they win on a per-flag conflict (JVM last-one-wins).
+    conf = dict(extra_conf or {})
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
-        b = b.config("spark.driver.extraJavaOptions", java_opts)
-    for k, v in (extra_conf or {}).items():
+        caller_opts = conf.pop("spark.driver.extraJavaOptions", "")
+        merged = f"{java_opts} {caller_opts}".strip()
+        b = b.config("spark.driver.extraJavaOptions", merged)
+    for k, v in conf.items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -356,6 +356,54 @@ def generate_corpus(
     }
 
 
+def _alpha(n: int) -> str:
+    """Deterministic bijective base-26 TitleCase token (0 → 'A', 27 → 'Ab')."""
+    s = ""
+    n += 1
+    while n:
+        n, r = divmod(n - 1, 26)
+        s = chr(97 + r) + s
+    return s.capitalize()
+
+
+def open_vocab_pages(n_docs: int = 200, uniques_per_doc: int = 12,
+                     seed: int = 7) -> pd.DataFrame:
+    """Open-vocabulary stress wave: pages whose mention population is
+    dominated by globally-UNIQUE surface forms, the regime the production
+    spaCy NER produces over web text (entity_extractor.py:169-190) and the
+    one the gazetteer fixtures hide (there, distinct norms ≈ dictionary
+    size). Each document plants:
+
+    - ``uniques_per_doc`` unique two-token org names ("Zq<Alpha> Consulting")
+      — never in the alias table, difflib-infeasible, so they ride the
+      external-entity cascade; every 10th appears twice in its document
+      (≥2 occurrences → ExternalEntity), the rest are singletons (dropped);
+    - one typo'd employee name (the fuzzy cascade at volume);
+    - one exact registry name (the broadcast-dictionary path stays hot).
+
+    With the defaults, distinct UNRESOLVED norms ≈ n_docs × uniques_per_doc
+    ≥ 10× the alias table — the regime where resolve_mentions must switch
+    its norm-keyed join-backs from broadcast to shuffle."""
+    rng = random.Random(seed)
+    reg = build_registry(random.Random(42))
+    rows = []
+    for d in range(n_docs):
+        emp = reg["employees"][d % len(reg["employees"])]
+        paras = [f"The audit file prepared by {emp['full_name']} covers the scope."]
+        for k in range(uniques_per_doc):
+            uid = d * uniques_per_doc + k
+            org = f"Zq{_alpha(uid)} Consulting"
+            if uid % 10 == 0:
+                paras.append(f"The partner {org} was engaged; later {org} confirmed the scope.")
+            else:
+                paras.append(f"The commentary from {org} noted steady progress.")
+        e2 = reg["employees"][(d * 7 + 3) % len(reg["employees"])]
+        paras.append(f"Also recorded was input from {_typo(e2['full_name'], rng)} this cycle.")
+        url = f"https://corp.example/openvocab/ov_{d:05d}.html"
+        rows.append(_page(url, 30000 + d, "\n".join(paras), f"OpenVocab {d}"))
+    return pd.DataFrame(rows)
+
+
 def _page(url: str, ordinal: int, text: str, title: str) -> dict:
     return {
         "url": url,

@@ -48,7 +48,7 @@ def test_flagship_no_cartesian_and_broadcast_linking(spark):
 
     p = plan_str(kg_inferred_triples(spark, SF_DIR))
     assert "CartesianProduct" not in p, p
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p, p
 
 
 def test_filter_pushdown_reaches_parquet(spark):
