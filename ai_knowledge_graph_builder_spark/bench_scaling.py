@@ -387,12 +387,26 @@ def one_paired_cycle(sf_dir: str, sizes: tuple[int, int], n_cores: int,
     return cyc
 
 
-def summarize_paired_cycles(cycles: list[dict]) -> dict:
+def summarize_paired_cycles(cycles: list[dict], max_steal: float | None = None) -> dict:
+    """Aggregate paired cycles: median/IQR over valid ones. ``max_steal``
+    additionally drops cycles where ANY probe saw more than that fraction
+    of hypervisor-stolen ticks (a dirty window the in-cycle pairing can't
+    fully cancel); the drop count is reported, never silent."""
     import statistics
 
     valid = [c for c in cycles if "invalid" not in c]
+    if max_steal is not None:
+        def _clean(c):
+            return all(s <= max_steal
+                       for k in c if k.startswith("c")
+                       for s in c[k].get("steal", []))
+        n_dirty = sum(1 for c in valid if not _clean(c))
+        valid = [c for c in valid if _clean(c)]
     out: dict = {"metric": "scaling_efficiency_N_to_4N", "unit": "ratio",
                  "n_cycles": len(cycles), "n_valid": len(valid)}
+    if max_steal is not None:
+        out["max_steal_filter"] = max_steal
+        out["n_dropped_dirty"] = n_dirty
     if valid:
         effs = sorted(c["efficiency"] for c in valid)
         norms = sorted(c["normalized"] for c in valid)
@@ -440,12 +454,14 @@ def run_paired_scaling(sf_dir: str = "/root/testdata/sf0.1",
 
 
 def _host_busy() -> bool:
-    """True when a dev workload (pytest / bench.py headline run) owns the
-    cores — the accumulation daemon must not measure through it. The
-    daemon's own probe children don't match these patterns."""
+    """True when a dev workload owns the cores — the accumulation daemon
+    must not measure through it. Matches pytest, bench.py headline runs,
+    and ad-hoc driver scripts fed on stdin (`python -`, how interactive
+    verification runs appear). The daemon's own probe children
+    (`python -m …bench_scaling probe`) don't match these patterns."""
     import subprocess
 
-    r = subprocess.run(["pgrep", "-f", r"pytest|bench\.py"],
+    r = subprocess.run(["pgrep", "-f", r"pytest|bench\.py|python3? -$"],
                        capture_output=True, text=True)
     return bool(r.stdout.strip())
 

@@ -656,6 +656,318 @@ FROM counts
 """
 
 
+def _flagship_assembled_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inferred flagship edges through the REAL assemble_triples operator
+    (J8 ×2 node join + P4 predicate exclusion + P5 natural text + D3 dedup)
+    against the registry node dimension."""
+    from .operators.graph import assemble_triples, registry_nodes
+
+    mentions_raw = flagship_mentions_raw(spark, sf_dir)
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    inferred = infer_edges(cooccurrence_pairs(mentions), _empty_edges(spark))
+    return assemble_triples(inferred, registry_nodes(registry))
+
+
+#: (label, subject substring, predicate) for the J9 point lookups — chosen so
+#: each hits a different A4 rule family in the flagship's inferred edge set.
+BASIC_FACT_LOOKUPS = [
+    ("uses", "spark", "USES"),
+    ("refs", "filter", "REFERENCES"),
+    ("complies", "vector", "COMPLIES_WITH"),
+]
+
+
+def kg_basic_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 under driver-oracle coverage: the REAL basic_fact_lookup operator
+    (rag_system.py:323-341 — CONTAINS-match on the subject name, LIMIT 1 in
+    (subject_id, object_id) order) over the assembled flagship triples,
+    one point lookup per A4 rule family, unioned."""
+    from .operators.graph_queries import basic_fact_lookup
+
+    t = _flagship_assembled_triples(spark, sf_dir).persist()
+    t.count()  # the three lookups are concurrent subtrees over this cache
+    out = None
+    for label, subj, pred in BASIC_FACT_LOOKUPS:
+        hit = basic_fact_lookup(t, subj, pred).withColumn("query_label", F.lit(label))
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(
+        "query_label", "subject_name", "predicate", "object_name",
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+def _basic_facts_sql() -> str:
+    lookups = "\nUNION ALL\n".join(
+        f"""(SELECT '{label}' AS query_label, subject_name, predicate, object_name, confidence
+ FROM t WHERE subject_name LIKE '%{subj}%' AND predicate = '{pred}'
+ ORDER BY subject_id, object_id LIMIT 1)"""
+        for label, subj, pred in BASIC_FACT_LOOKUPS
+    )
+    return f"""
+WITH inf AS ({KG_INFERRED_TRIPLES_SQL}),
+names(id, name) AS (VALUES {_flagship_name_values()}),
+t AS (
+  SELECT i.subject_id, ns.name AS subject_name, i.predicate,
+         i.object_id, nd.name AS object_name, i.confidence
+  FROM inf i
+  JOIN names ns ON ns.id = i.subject_id
+  JOIN names nd ON nd.id = i.object_id
+)
+{lookups}
+"""
+
+
+def kg_structured_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 + P6 under driver-oracle coverage: the natural-text projection
+    (assemble_triples 'subject predicate object' rendering,
+    entity_extractor.py:489-300 analog) AND the structured triple text
+    ('Subject: … | Predicate: … | …', embedding_generator.py:142-151)
+    over the flagship's assembled inferred triples."""
+    from .operators.graph_queries import structured_triple_text
+
+    t = _flagship_assembled_triples(spark, sf_dir).persist()
+    t.count()
+    st = structured_triple_text(t)
+    return st.join(
+        t.select("subject_id", "predicate", "object_id", F.col("text").alias("natural_text")),
+        ["subject_id", "predicate", "object_id"],
+    ).select("subject_id", "predicate", "object_id", "structured_text", "natural_text")
+
+
+def _structured_triples_sql() -> str:
+    return f"""
+WITH inf AS ({KG_INFERRED_TRIPLES_SQL}),
+names(id, name) AS (VALUES {_flagship_name_values()})
+SELECT i.subject_id, i.predicate, i.object_id,
+       printf('Subject: %s | Predicate: %s | Object: %s | Confidence: %s',
+              ns.name, i.predicate, nd.name, i.confidence::VARCHAR) AS structured_text,
+       ns.name || ' ' || lower(replace(i.predicate, '_', ' ')) || ' ' || nd.name AS natural_text
+FROM inf i
+JOIN names ns ON ns.id = i.subject_id
+JOIN names nd ON nd.id = i.object_id
+"""
+
+
+def _flagship_contradiction_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic doc_meta with planted contradictions, DuckDB-recomputable:
+    every doc_id % 9 == 4 document carries one project_assignment
+    contradiction (employee by doc_id parity, project by doc_id % 4 — the
+    % 4 == 3 residue names a ghost 'proj_404' the exists-gate must drop),
+    and every other such doc also carries a product_mention contradiction
+    that the type filter must ignore."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    proj = F.when(did % 4 == 3, F.lit("proj_404")).otherwise(
+        F.format_string("proj_%03d", (did % 4 + 1).cast("int"))
+    )
+    emp = F.when(did % 2 == 0, F.lit("emp_001")).otherwise(F.lit("emp_002"))
+    pa = F.struct(
+        F.lit("project_assignment").alias("type"),
+        emp.alias("entity"),
+        proj.alias("document_value"),
+        F.format_string("conflict %d", did).alias("explanation"),
+    )
+    pm = F.struct(
+        F.lit("product_mention").alias("type"),
+        F.lit("").alias("entity"),
+        F.lit("RogueTool App").alias("document_value"),
+        F.format_string("unapproved %d", did).alias("explanation"),
+    )
+    return docs.filter(did % 9 == 4).select(
+        F.format_string("doc://%08d", did).alias("url"),
+        F.when(did % 18 == 4, F.array(pa, pm)).otherwise(F.array(pa)).alias("contradictions"),
+    )
+
+
+def kg_flagged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 contradiction path under driver-oracle coverage: the REAL
+    contradiction_edges operator (neo4j_loader.py:368-386 — planted
+    project_assignment contradictions → flagged confidence-0.3 WORKS_ON
+    edges, CREATEd only when the project node exists). The synthetic
+    doc_meta plants a ghost project on the % 4 == 3 residue (must be
+    dropped by the exists-gate) and a product_mention contradiction on
+    alternate docs (must be dropped by the type filter) — if either branch
+    broke, the row count and hash flip."""
+    from .operators.graph import contradiction_edges, registry_nodes
+
+    doc_meta = _flagship_contradiction_meta(spark, sf_dir)
+    nodes = registry_nodes(flagship_registry_df(spark))
+    edges = contradiction_edges(doc_meta, nodes)
+    return edges.select(
+        F.regexp_replace("source", "doc://", "").cast("long").alias("doc_id"),
+        F.col("src").alias("employee_id"),
+        F.col("dst").alias("project_id"),
+        F.round("confidence", 4).alias("confidence"),
+        F.col("props")["contradiction_reason"].alias("reason"),
+        "flagged",
+    )
+
+
+KG_FLAGGED_EDGES_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'emp_001' ELSE 'emp_002' END AS employee_id,
+       printf('proj_%03d', doc_id % 4 + 1) AS project_id,
+       ROUND(0.3, 4)::DOUBLE AS confidence,
+       printf('conflict %d', doc_id) AS reason,
+       true AS flagged
+FROM documents
+WHERE doc_id % 9 = 4 AND doc_id % 4 <> 3
+"""
+
+
+def kg_source_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 under driver-oracle coverage: the REAL source_manifest operator
+    (rag_system.py:713-751 semantics, engine-wide) over the union of the
+    D1 NER MENTIONS edges (constant 'phase7_extraction' source) and the
+    flagged contradiction edges (per-document url source), full-outer
+    merged with per-document chunk counts — documents with chunks but no
+    contradiction land with used_in_triples = 0, and the extraction bucket
+    lands with used_in_chunks = 0, so both outer branches are exercised."""
+    from .operators.edges_full import mention_edges
+    from .operators.graph import contradiction_edges, registry_nodes
+    from .operators.graph_queries import source_manifest
+
+    mentions_raw = flagship_mentions_raw(spark, sf_dir)
+    registry = flagship_registry_df(spark)
+    aliases = build_alias_table(registry)
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    m_edges = mention_edges(mentions)
+    c_edges = contradiction_edges(
+        _flagship_contradiction_meta(spark, sf_dir), registry_nodes(registry)
+    )
+    cols = ["src", "predicate", "dst", "confidence", "source", "flagged", "inferred", "props"]
+    triples = m_edges.select(*cols).unionByName(c_edges.select(*cols))
+    chunks = chunk_boundaries(spark, sf_dir).select(
+        F.format_string("doc://%08d", "doc_id").alias("url")
+    )
+    manifest = source_manifest(triples, chunks)
+    return manifest.select("file", "used_in_triples", "used_in_chunks")
+
+
+def _source_manifest_sql() -> str:
+    return f"""
+WITH aliases(word, eid) AS (VALUES {_flagship_alias_values()}),
+m AS (
+  SELECT d.doc_id FROM documents d JOIN aliases a
+    ON regexp_matches(d.text, '\\b' || a.word || '\\b')
+),
+fl AS (
+  SELECT doc_id FROM documents WHERE doc_id % 9 = 4 AND doc_id % 4 <> 3
+),
+t AS (
+  SELECT 'phase7_extraction' AS file, count(*)::BIGINT AS used_in_triples FROM m
+  UNION ALL
+  SELECT printf('doc://%08d', doc_id), count(*)::BIGINT FROM fl GROUP BY 1
+),
+c AS (
+  SELECT printf('doc://%08d', doc_id) AS file, count(*)::BIGINT AS used_in_chunks
+  FROM ({CHUNK_BOUNDARIES_SQL}) GROUP BY 1
+)
+SELECT COALESCE(t.file, c.file) AS file,
+       COALESCE(t.used_in_triples, 0)::BIGINT AS used_in_triples,
+       COALESCE(c.used_in_chunks, 0)::BIGINT AS used_in_chunks
+FROM t FULL OUTER JOIN c ON t.file = c.file
+"""
+
+
+def kg_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2→U3→J11 under driver-oracle coverage: chunk documents (the U2
+    kernel, size 40 / overlap 10), embed each chunk with the hashed-BoW
+    token-sum kernel (functions/embed — the deterministic stand-in for
+    all-MiniLM, embedding_generator.py:287-331) at dim 64, then exact
+    cosine top-10 against the (doc 0, chunk 0) query vector through the
+    REAL cosine_topk_join operator (rag_system.py:486-517 retrieval
+    shape). Unnormalized integer-valued vectors make the cosine
+    bit-reproducible in DuckDB (cosine is scale-invariant, so ranking
+    matches the normalized production encoder exactly)."""
+    from .functions.embed import token_sum_vectors
+    from .operators.similarity import cosine_topk_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 80)
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunks = chunk_text(text, chunk_size=40, overlap=10)
+                mat = token_sum_vectors([c.text for c in chunks], dim=64)
+                for c, v in zip(chunks, mat):
+                    ids.append(int(doc_id) * 100 + c.chunk_index)
+                    vecs.append([float(x) for x in v])
+            yield pd.DataFrame({"chunk_id": pd.array(ids, dtype="int64"), "embedding": vecs})
+
+    chunks = (
+        docs.select("doc_id", "text")
+        .mapInPandas(_embed, "chunk_id long, embedding array<double>")
+        .persist()
+    )
+    chunks.count()  # eager: query + items are AQE-concurrent subtrees
+    query = chunks.filter(F.col("chunk_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    items = chunks.filter(F.col("chunk_id") != 0)
+    topk = cosine_topk_join(items, query, k=10, item_id="chunk_id", query_id="query_id")
+    return topk.select(
+        F.floor(F.col("chunk_id") / 100).cast("long").alias("doc_id"),
+        (F.col("chunk_id") % 100).cast("long").alias("chunk_index"),
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# The oracle recomputes the md5-BoW kernel bit-for-bit: token vector dim d is
+# ±1 from bit (d % 8, MSB-first) of byte (d // 8) of md5('0' || NUL || token)
+# — exactly functions/embed._token_vector with dim 64 (single digest, no
+# tiling). Integer sums and double-precision cosine make both engines agree
+# to the last bit, so the top-10 ordering (and rank column) is deterministic.
+KG_CHUNK_RETRIEVAL_SQL = """
+WITH wc AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS w
+  FROM documents WHERE doc_id < 80 AND length(trim(text)) > 0
+),
+k AS (
+  SELECT doc_id, w, len(w)::BIGINT AS n,
+         unnest(range(0, CASE WHEN len(w) <= 40 THEN 1
+                        ELSE CAST(ceil((len(w) - 40) / 30.0) AS BIGINT) + 1 END)) AS ci
+  FROM wc
+),
+toks AS (
+  SELECT doc_id, ci,
+         unnest(list_slice(w, ci * 30 + 1, LEAST(ci * 30 + 40, n))) AS tok
+  FROM k
+),
+tokh AS (
+  SELECT doc_id, ci, md5('0' || chr(0) || tok) AS h FROM toks
+),
+sv AS (
+  SELECT t.doc_id, t.ci, d.dim,
+         SUM(2 * (((strpos('0123456789abcdef',
+                     substr(t.h, (d.dim // 8) * 2
+                            + CASE WHEN d.dim % 8 < 4 THEN 1 ELSE 2 END, 1)) - 1)
+                   // (CASE d.dim % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                      WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)::BIGINT AS v
+  FROM tokh t, (SELECT unnest(range(0, 64)) AS dim) d
+  GROUP BY 1, 2, 3
+),
+q AS (SELECT dim, v FROM sv WHERE doc_id = 0 AND ci = 0),
+scores AS (
+  SELECT s.doc_id, s.ci AS chunk_index,
+         SUM(s.v * q.v) / (sqrt(SUM(s.v * s.v)) * sqrt(SUM(q.v * q.v))) AS cos
+  FROM sv s JOIN q USING (dim)
+  WHERE NOT (s.doc_id = 0 AND s.ci = 0)
+  GROUP BY 1, 2
+)
+SELECT doc_id, chunk_index, ROUND(cos, 4) AS score,
+       ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id, chunk_index) AS rank
+FROM scores
+ORDER BY cos DESC, doc_id, chunk_index
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text-pipeline operators over `documents`
 # ---------------------------------------------------------------------------
@@ -1205,6 +1517,11 @@ QUERIES = {
     "kg_metadata_mentions": kg_metadata_mentions,
     "kg_triple_summary": kg_triple_summary,
     "kg_one_hop": kg_one_hop,
+    "kg_flagged_edges": kg_flagged_edges,
+    "kg_source_manifest": kg_source_manifest,
+    "kg_chunk_retrieval": kg_chunk_retrieval,
+    "kg_basic_facts": kg_basic_facts,
+    "kg_structured_triples": kg_structured_triples,
     "doc_wordcount": doc_wordcount,
     "chunk_boundaries": chunk_boundaries,
     "exact_dedup": exact_dedup,
@@ -1238,6 +1555,11 @@ ORACLES = {
         mentions=KG_MENTION_EDGES_SQL, inferred=KG_INFERRED_TRIPLES_SQL,
         sent=KG_SENT_EDGES_SQL),
     "kg_one_hop": _one_hop_sql().format(inferred=KG_INFERRED_TRIPLES_SQL),
+    "kg_flagged_edges": KG_FLAGGED_EDGES_SQL,
+    "kg_source_manifest": _source_manifest_sql(),
+    "kg_chunk_retrieval": KG_CHUNK_RETRIEVAL_SQL,
+    "kg_basic_facts": _basic_facts_sql(),
+    "kg_structured_triples": _structured_triples_sql(),
     "doc_wordcount": DOC_WORDCOUNT_SQL,
     "chunk_boundaries": CHUNK_BOUNDARIES_SQL,
     "exact_dedup": EXACT_DEDUP_SQL,

@@ -34,8 +34,12 @@ def _token_vector(token: str, dim: int) -> np.ndarray:
     return bits.astype(np.float32) * 2.0 - 1.0
 
 
-def encode_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
-    """(n, dim) float32, L2-normalized rows (embedding_generator.py:315-316)."""
+def token_sum_vectors(texts: list[str], dim: int = DIM) -> np.ndarray:
+    """(n, dim) float32 raw hashed-BoW token sums (no normalization). The
+    values are exact small integers, so cosine over these vectors is
+    bit-reproducible across engines — the property the driver-oracle
+    chunk-retrieval query relies on; cosine is scale-invariant, so ranking
+    is identical to the normalized ``encode_texts`` output."""
     out = np.zeros((len(texts), dim), dtype=np.float32)
     cache: dict[str, np.ndarray] = {}
     for i, t in enumerate(texts):
@@ -46,7 +50,12 @@ def encode_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
                 v = _token_vector(tok, dim)
                 cache[tok] = v
             acc += v
-    return l2_normalize(out)
+    return out
+
+
+def encode_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
+    """(n, dim) float32, L2-normalized rows (embedding_generator.py:315-316)."""
+    return l2_normalize(token_sum_vectors(texts, dim))
 
 
 def l2_normalize(mat: np.ndarray) -> np.ndarray:

@@ -23,9 +23,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# Per-category answer-latency budgets (ms), mirroring the per-query
+# max_latency_ms the reference attaches (generate_golden_queries.py:163-200;
+# per-category values read from the _generate_* calls — the max used within
+# each category). The reference budgets a per-question LLM+graph round trip;
+# here answering is set-oriented (one Spark pass per question SHAPE), so a
+# question's latency is its pass's wall time amortized over the questions the
+# pass answered — the honest per-question cost of the batch engine.
+CATEGORY_LATENCY_BUDGET_MS = {
+    "basic_fact": 2000, "relationship": 2500, "quantitative": 3500,
+    "temporal": 3000, "comparative": 3500, "aggregative": 3500,
+    "negative": 3000, "complex": 4000, "semantic": 4000,
+    "contradiction": 3500, "edge_case": 4000,
+}
+
+
 def _q(qid, category, question, expected, should_succeed=True, **kw):
     return dict(qid=qid, category=category, question=question,
-                expected=sorted(expected), should_succeed=should_succeed, **kw)
+                expected=sorted(expected), should_succeed=should_succeed,
+                max_latency_ms=CATEGORY_LATENCY_BUDGET_MS[category], **kw)
 
 
 def generate_golden_queries(corpus: dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -219,17 +235,30 @@ def answer_golden_queries(
     oriented — no per-question graph round trips, unlike
     rag_system.py:323-393). ``nodes`` is required for the temporal /
     aggregative / comparative-department shapes (node-property questions)."""
+    import time as _time
+
     # ground-truth edges only (confidence == 1.0) mirror the CSV derivation
     gt = triples.filter(F.col("confidence") == 1.0).select(
         "subject_name", "predicate", "object_name"
     ).persist()
 
     answers: dict[str, list[str]] = {}
+    # per-question amortized latency (ms): each set-oriented pass's wall time
+    # divided over the questions it answered (the reference budgets a
+    # per-question round trip; this is the batch engine's equivalent)
+    latency_ms: dict[str, float] = {}
+
+    def _attribute(qids, t0: float) -> None:
+        if len(qids):
+            per = (_time.perf_counter() - t0) * 1000.0 / len(qids)
+            for qid in qids:
+                latency_ms[qid] = latency_ms.get(qid, 0.0) + per
 
     def _join_pass(qs: pd.DataFrame, cond, collect_col: str):
         """Generic broadcast-question join → per-qid sorted answer set."""
         if not len(qs):
             return
+        t0 = _time.perf_counter()
         qpd = (
             qs[["qid", "subject_name", "object_name", "predicate"]]
             .rename(columns={"subject_name": "q_subject", "object_name": "q_object",
@@ -245,6 +274,7 @@ def answer_golden_queries(
         )
         for r in hits:
             answers[r["qid"]] = [a for a in r["ans"] if a is not None]
+        _attribute(list(qs["qid"]), t0)
 
     g = golden.copy()
     for c in ("subject_name", "object_name", "predicate"):
@@ -278,6 +308,7 @@ def answer_golden_queries(
     # shape 4: 2-hop manager projects (complex): REPORTS_TO then WORKS_ON
     cx = g[g["qtype"] == "manager_projects"]
     if len(cx):
+        t0 = _time.perf_counter()
         qdf = F.broadcast(spark.createDataFrame(
             cx[["qid", "subject_name"]].rename(columns={"subject_name": "q_subject"})))
         mgr = gt.filter(F.col("predicate") == "REPORTS_TO").select(
@@ -291,9 +322,11 @@ def answer_golden_queries(
         )
         for r in hits:
             answers[r["qid"]] = r["ans"]
+        _attribute(list(cx["qid"]), t0)
     # shape 5: flagged triples (contradiction; rag_system.py:569-584)
     con = g[g["qtype"] == "flagged_objects"]
     if len(con):
+        t0 = _time.perf_counter()
         qdf = F.broadcast(spark.createDataFrame(
             con[["qid", "subject_name", "predicate"]]
             .rename(columns={"subject_name": "q_subject", "predicate": "q_predicate"})))
@@ -308,9 +341,13 @@ def answer_golden_queries(
         )
         for r in hits:
             answers[r["qid"]] = [a for a in r["ans"] if a is not None]
+        _attribute(list(con["qid"]), t0)
 
     # shapes over ENTITY node properties (temporal / aggregative /
     # comparative-departments): one collect of the registry-sized dimension
+    _NODE_PROP_SHAPES = ("node_prop", "nodes_by_prop", "count_node_type",
+                         "distinct_prop", "names_by_type", "compare_departments")
+    t0 = _time.perf_counter()
     ent: list[dict] = []
     if nodes is not None:
         ent = [r.asDict() for r in
@@ -342,10 +379,13 @@ def answer_golden_queries(
                         counts[d] = counts.get(d, 0) + 1
             answers[qid] = sorted(f"{d}={c}" for d, c in counts.items())
 
+    _attribute(list(g[g["qtype"].isin(_NODE_PROP_SHAPES)]["qid"]), t0)
+
     # shape: compare direct-report counts (comparative) — from the answered
     # REPORTS_TO objects turned around: count subjects per manager name
     cmpq = g[g["qtype"] == "compare_reports"]
     if len(cmpq):
+        t0 = _time.perf_counter()
         pairs = {n for q in cmpq.to_dict("records") for n in (q["name_a"], q["name_b"])}
         counts = {
             r["object_name"]: r["n"]
@@ -357,6 +397,7 @@ def answer_golden_queries(
             ca, cb = counts.get(q["name_a"], 0), counts.get(q["name_b"], 0)
             answers[q["qid"]] = ([q["name_a"]] if ca > cb else [q["name_b"]]
                                  if cb > ca else sorted([q["name_a"], q["name_b"]]))
+        _attribute(list(cmpq["qid"]), t0)
 
     # quantitative answers are the COUNT of the matched object set
     out = []
@@ -367,8 +408,26 @@ def answer_golden_queries(
         elif q["qtype"] == "teammates":
             # "who ELSE works on …" — drop the asking employee
             ans = [a for a in ans if a != q["subject_name"]]
-        out.append({**q, "answer": ans})
+        out.append({**q, "answer": ans,
+                    "latency_ms": round(latency_ms.get(q["qid"], 0.0), 2)})
     return pd.DataFrame(out)
+
+
+def golden_latency_report(answered: pd.DataFrame) -> pd.DataFrame:
+    """Per-category latency report against the reference budgets: p50/p95 of
+    the per-question amortized latency, the category budget, and whether the
+    p95 clears it — the golden harness doubling as a perf-regression net."""
+    rows = []
+    for cat, grp in answered.groupby("category"):
+        lat = sorted(grp["latency_ms"])
+        p = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]
+        budget = int(grp["max_latency_ms"].iloc[0])
+        rows.append({
+            "category": cat, "n": len(lat),
+            "p50_ms": round(p(0.50), 2), "p95_ms": round(p(0.95), 2),
+            "budget_ms": budget, "under_budget": p(0.95) <= budget,
+        })
+    return pd.DataFrame(rows).sort_values("category").reset_index(drop=True)
 
 
 def score_golden(answered: pd.DataFrame) -> dict[str, float]:

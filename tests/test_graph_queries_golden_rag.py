@@ -78,6 +78,26 @@ def test_source_manifest_counts(spark, kg):
     assert got == want
 
 
+def test_export_graph_csv_roundtrip(spark, kg, tmp_path):
+    """S8: nodes.csv/edges.csv export (neo4j_loader.py:417-430) round-trips —
+    row counts and columns survive, and the JSON-encoded props decode back."""
+    import json
+
+    from ai_knowledge_graph_builder_spark.operators.graph_queries import export_graph_csv
+
+    export_graph_csv(kg["nodes"], kg["edges"], str(tmp_path))
+    nodes_back = spark.read.option("header", True).csv(f"{tmp_path}/nodes")
+    edges_back = spark.read.option("header", True).csv(f"{tmp_path}/edges")
+    assert nodes_back.count() == kg["nodes"].count()
+    assert edges_back.count() == kg["edges"].count()
+    assert set(nodes_back.columns) == set(kg["nodes"].columns)
+    assert set(edges_back.columns) == set(kg["edges"].columns)
+    with_props = nodes_back.filter(F.col("props").isNotNull()).limit(5).collect()
+    assert with_props and all(
+        isinstance(json.loads(r["props"]), dict) for r in with_props
+    )
+
+
 def test_golden_queries_perfect_accuracy(spark, kg, corpus):
     golden = generate_golden_queries(corpus)
     # all 11 reference categories (generate_golden_queries.py:202-877)
@@ -105,6 +125,20 @@ def test_golden_queries_perfect_accuracy(spark, kg, corpus):
     assert set(wdf["category"]) == set(scores)
     failing = wdf[~(wdf["passed_weighted"] & wdf["passed_exact"])]
     assert failing.empty, failing.to_dict("records")
+
+    # latency budgets (generate_golden_queries.py:163-200 max_latency_ms):
+    # every question carries its category budget, every answered question a
+    # measured amortized latency, and per-category p95 clears the budget —
+    # the golden harness doubling as a perf-regression net (VERDICT r3 #8)
+    from ai_knowledge_graph_builder_spark.plans.golden import golden_latency_report
+
+    assert (answered["max_latency_ms"] > 0).all()
+    assert (answered["latency_ms"] > 0).all(), \
+        answered[answered["latency_ms"] <= 0][["qid", "qtype"]].head()
+    rep = golden_latency_report(answered)
+    assert set(rep["category"]) == set(scores)
+    over = rep[~rep["under_budget"]]
+    assert over.empty, over.to_dict("records")
 
 
 def test_retrieval_self_rank1(spark, kg):
