@@ -218,9 +218,61 @@ def _base_docs(sf_dir: str) -> int:
     return duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/documents.parquet'").fetchone()[0]
 
 
-def _probe_main(cpus: str, reps: int, sf_dir: str) -> None:
-    """One timed slice run at local[cpus] in a fresh process; prints JSON."""
+def materialize_pages(spark, sf_dir: str, replicas: int, out_dir: str) -> None:
+    """Write the replicated (url, html) page table to parquet ONCE, outside
+    any timed window. The north rule's input is a PRE-EXISTING table of web
+    pages; synthesizing pages inside the timed job both charges the probe
+    for data-gen scaffolding and adds a JVM↔Python crossing of the html
+    payload that the production path (one scan → one Arrow transfer into
+    the fused extract+NER worker) does not have."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions.html import render_html
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = [f"doc://{d:08d}-{r:04d}" for d, r in zip(pdf["doc_id"], pdf["rep"])]
+            htmls = [render_html(u, t) for u, t in zip(urls, pdf["text"])]
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    # many output files: the scan side sizes splits by COMPRESSED bytes
+    # (BENCH.md probe trap 11) and this table must fan out across 24 cores
+    docs.mapInPandas(_mk, "url string, html binary").repartition(96).write.mode(
+        "overwrite").parquet(out_dir)
+
+
+def scan_kg_run(spark, pages_path: str, sf_dir: str, out_dir: str) -> None:
+    """The timed production-shaped job: scan the pages table → ONE Arrow
+    crossing into fused extraction+NER → linking → mention sink. Identical
+    operator chain to slice_kg_run minus the in-job page synthesis."""
+    from .driver_queries import flagship_gazetteer, flagship_registry_df
+    from .operators.mentions import extract_and_detect
+
+    pages = spark.read.parquet(pages_path)
+    mentions_raw = extract_and_detect(pages, flagship_gazetteer(), presalted=True)
+    mentions_raw = mentions_raw.select("url", "mention_idx", "text", "label")
+    aliases = build_alias_table(flagship_registry_df(spark))
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    mentions.select("url", "resolved_id", "resolution_type").write.mode(
+        "overwrite").parquet(out_dir)
+
+
+def _probe_main(cpus: str, reps: int, sf_dir: str, scan: bool = False) -> None:
+    """One timed slice run at local[cpus] in a fresh process; prints JSON.
+    ``scan`` mode reads a pre-materialized page table (built outside the
+    timed window, cached under /dev/shm keyed by (sf, reps)) instead of
+    synthesizing pages in-job."""
     import json
+    import os
     import time as _t
 
     from .session import get_spark
@@ -233,9 +285,31 @@ def _probe_main(cpus: str, reps: int, sf_dir: str) -> None:
     # cluster manager hands executor JVMs exactly this core count.
     spark = get_spark(f"kg-probe-{cpus}-{reps}", master=f"local[{cpus}]",
                       extra_conf={"spark.local.dir": "/dev/shm/spark-probe",
+                                  # compressed-scan partition-collapse guard
+                                  # (BENCH.md probe trap 11): the page table
+                                  # must split across all cores
+                                  "spark.sql.files.maxPartitionBytes": "1m",
                                   "spark.driver.extraJavaOptions":
                                       f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
     spark.sparkContext.setLogLevel("ERROR")
+    if scan:
+        sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        pages_path = f"/dev/shm/kg-pages-{sfname}-{reps}"
+        if not os.path.exists(f"{pages_path}/_SUCCESS"):
+            materialize_pages(spark, sf_dir, reps, pages_path)
+        t0 = _t.perf_counter()
+        if scan == "ner":
+            # stage-decomposition probe: scan → fused extract+NER → count
+            # (no linking shuffle, no persist, no sink)
+            from .driver_queries import flagship_gazetteer
+            from .operators.mentions import extract_and_detect
+
+            pages = spark.read.parquet(pages_path)
+            extract_and_detect(pages, flagship_gazetteer(), presalted=True).count()
+        else:
+            scan_kg_run(spark, pages_path, sf_dir, "/dev/shm/probe-out")
+        print(json.dumps({"sec": round(_t.perf_counter() - t0, 2)}))
+        return
     t0 = _t.perf_counter()
     slice_kg_run(spark, sf_dir, reps, 0, "/dev/shm/probe-out")
     print(json.dumps({"sec": round(_t.perf_counter() - t0, 2)}))
@@ -337,7 +411,59 @@ def _spinner_ceiling(n: int, seconds: float = 8.0) -> float:
     return float(sum(q.get() for _ in ps))
 
 
-def _paired_probe(sf_dir: str, cpus: int, reps: int) -> tuple[float, float]:
+_KERNEL_TEXTS: list[str] | None = None
+
+
+def _kernel_work(args: tuple[int, int, int]) -> int:
+    lo, hi, reps = args
+    from .driver_queries import flagship_gazetteer
+    from .functions.html import extract_text, render_html
+    from .functions.ner import RuleNER
+
+    det = RuleNER(flagship_gazetteer())
+    n = 0
+    for r in range(reps):
+        for i in range(lo, hi):
+            h = render_html(f"doc://{i:08d}-{r:04d}", _KERNEL_TEXTS[i])
+            n += len(det(extract_text(h)))
+    return n
+
+
+def _kernel_marginal(sf_dir: str, nproc: int, reps_lo: int, reps_hi: int) -> float:
+    """Marginal docs/s of the pure-Python per-document kernel chain
+    (render → extract → NER) under plain multiprocessing — the same work
+    the Spark NER stage does, with ZERO engine. This is the workload's
+    single-host attainable ceiling: unlike the ALU-only spinner, it carries
+    the same string/memory traffic per doc, so it hits the same host memory
+    wall the engine does. Spark efficiency divided by this isolates ENGINE
+    overhead from host physics."""
+    import multiprocessing as mp
+    import time as _t
+
+    global _KERNEL_TEXTS
+    if _KERNEL_TEXTS is None:
+        import duckdb
+
+        _KERNEL_TEXTS = [r[0] for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()]
+    n_docs = len(_KERNEL_TEXTS)
+    chunk = n_docs // nproc
+
+    def one(reps: int) -> float:
+        jobs = [(i * chunk, (i + 1) * chunk if i < nproc - 1 else n_docs, reps)
+                for i in range(nproc)]
+        t0 = _t.perf_counter()
+        with mp.Pool(nproc) as p:
+            p.map(_kernel_work, jobs)
+        return _t.perf_counter() - t0
+
+    t_lo, t_hi = one(reps_lo), one(reps_hi)
+    if t_hi <= t_lo:
+        return 0.0
+    return n_docs * (reps_hi - reps_lo) / (t_hi - t_lo)
+
+
+def _paired_probe(sf_dir: str, cpus: int, reps: int, scan: bool = False) -> tuple[float, float]:
     import json
     import shutil
     import subprocess
@@ -348,7 +474,7 @@ def _paired_probe(sf_dir: str, cpus: int, reps: int) -> tuple[float, float]:
     s0, t0 = _steal_snapshot()
     p = subprocess.run(
         [sys.executable, "-m", "ai_knowledge_graph_builder_spark.bench_scaling",
-         "probe", str(cpus), str(reps), sf_dir],
+         "probe", str(cpus), str(reps), sf_dir] + (["scan"] if scan else []),
         capture_output=True, text=True, cwd="/root/repo")
     s1, t1 = _steal_snapshot()
     if p.returncode != 0 or not p.stdout.strip():
@@ -358,7 +484,7 @@ def _paired_probe(sf_dir: str, cpus: int, reps: int) -> tuple[float, float]:
 
 
 def one_paired_cycle(sf_dir: str, sizes: tuple[int, int], n_cores: int,
-                     base: int) -> dict:
+                     base: int, scan: bool = False) -> dict:
     """One interleaved cycle: spinner ceiling, then lo/hi-size Spark probes
     at local[N] and local[4N], all inside one host-noise window. A cycle
     whose hi-size run came back FASTER than the lo-size run (timing inverted
@@ -370,10 +496,18 @@ def one_paired_cycle(sf_dir: str, sizes: tuple[int, int], n_cores: int,
     ceil_4n = _spinner_ceiling(4 * n_cores)
     attainable = ceil_4n / ceil_n / 4.0
     cyc: dict = {"attainable": round(attainable, 3)}
+    # same-window workload ceiling: the engine-free kernel chain at both
+    # widths (reps sized for multi-second points)
+    k_n = _kernel_marginal(sf_dir, n_cores, 16, 32)
+    k_4n = _kernel_marginal(sf_dir, 4 * n_cores, 48, 96)
+    if k_n > 0 and k_4n > 0:
+        cyc["kernel_eff"] = round(k_4n / (4 * k_n), 3)
+    if scan:
+        cyc["protocol"] = "scan"
     marg = {}
     for cpus in (n_cores, 4 * n_cores):
-        t_lo, st_lo = _paired_probe(sf_dir, cpus, lo)
-        t_hi, st_hi = _paired_probe(sf_dir, cpus, hi)
+        t_lo, st_lo = _paired_probe(sf_dir, cpus, lo, scan=scan)
+        t_hi, st_hi = _paired_probe(sf_dir, cpus, hi, scan=scan)
         cyc[f"c{cpus}"] = {"lo_s": round(t_lo, 2), "hi_s": round(t_hi, 2),
                            "steal": [round(st_lo, 4), round(st_hi, 4)]}
         if t_hi <= t_lo:
@@ -384,6 +518,8 @@ def one_paired_cycle(sf_dir: str, sizes: tuple[int, int], n_cores: int,
     eff = marg[4 * n_cores] / (4 * marg[n_cores])
     cyc["efficiency"] = round(eff, 3)
     cyc["normalized"] = round(eff / max(attainable, 1e-9), 3)
+    if cyc.get("kernel_eff"):
+        cyc["normalized_kernel"] = round(eff / cyc["kernel_eff"], 3)
     return cyc
 
 
@@ -394,7 +530,7 @@ def summarize_paired_cycles(cycles: list[dict], max_steal: float | None = None) 
     fully cancel); the drop count is reported, never silent."""
     import statistics
 
-    valid = [c for c in cycles if "invalid" not in c]
+    valid = [c for c in cycles if "invalid" not in c and "efficiency" in c]
     if max_steal is not None:
         def _clean(c):
             return all(s <= max_steal
@@ -418,6 +554,12 @@ def summarize_paired_cycles(cycles: list[dict], max_steal: float | None = None) 
         out["median_attainable"] = round(statistics.median(
             [c["attainable"] for c in valid]), 3)
         out["best_efficiency"] = effs[-1]
+        nk = sorted(c["normalized_kernel"] for c in valid if "normalized_kernel" in c)
+        if nk:
+            out["median_normalized_kernel"] = round(statistics.median(nk), 3)
+            out["normalized_kernel_iqr"] = [round(q(nk, 0.25), 3), round(q(nk, 0.75), 3)]
+            out["median_kernel_eff"] = round(statistics.median(
+                [c["kernel_eff"] for c in valid if "kernel_eff" in c]), 3)
     return out
 
 
@@ -470,13 +612,18 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
                       sf_dir: str = "/root/testdata/sf0.1",
                       sizes: tuple[int, int] = (160, 320),
                       n_cores: int = 6,
-                      max_cycles: int = 1000) -> None:
+                      max_cycles: int = 1000,
+                      jvms_every: int = 6) -> None:
     """Accumulation mode: run paired cycles back-to-back for as long as the
     round lasts, appending each cycle as one JSON line. Skips (sleeps)
     while a dev workload is running so cycles aren't contaminated by our
     own pytest/bench jobs; a busy-check is repeated AFTER each cycle and
-    the cycle flagged if the window was dirty. Aggregate at publish time
-    with ``summarize_paired_cycles`` over the JSONL."""
+    the cycle flagged if the window was dirty. Every ``jvms_every``-th
+    measurement runs the 1-vs-4 pinned-worker-JVM mode instead (tagged
+    ``mode: jvms``) — the daemon's idle-only scheduling doubles as the
+    quiet-window selection that mode needs. Aggregate at publish time with
+    ``summarize_paired_cycles`` over the JSONL (jvms lines summarized
+    separately)."""
     import json
     import time as _t
 
@@ -487,7 +634,15 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             _t.sleep(20)
             continue
         try:
-            cyc = one_paired_cycle(sf_dir, sizes, n_cores, base)
+            if jvms_every and done % jvms_every == jvms_every - 1:
+                s0, t0 = _steal_snapshot()
+                cyc = run_cluster_scaling(sf_dir=sf_dir, sizes=(160, 320))
+                s1, t1 = _steal_snapshot()
+                cyc = {"mode": "jvms", "value": cyc["value"],
+                       "steal": round((s1 - s0) / max(t1 - t0, 1), 4),
+                       "workers_1": cyc["workers_1"], "workers_4": cyc["workers_4"]}
+            else:
+                cyc = one_paired_cycle(sf_dir, sizes, n_cores, base, scan=True)
         except RuntimeError as e:
             cyc = {"invalid": f"probe error: {e}"[:300]}
         if _host_busy():
@@ -567,7 +722,9 @@ if __name__ == "__main__":
     if len(_sys.argv) > 1 and _sys.argv[1] == "worker":
         _worker_main(_sys.argv[2], int(_sys.argv[3]), int(_sys.argv[4]), _sys.argv[5], _sys.argv[6])
     elif len(_sys.argv) > 1 and _sys.argv[1] == "probe":
-        _probe_main(_sys.argv[2], int(_sys.argv[3]), _sys.argv[4])
+        _probe_main(_sys.argv[2], int(_sys.argv[3]), _sys.argv[4],
+                    scan=(_sys.argv[5] if len(_sys.argv) > 5
+                          and _sys.argv[5] in ("scan", "ner") else False))
     elif len(_sys.argv) > 1 and _sys.argv[1] == "daemon":
         run_paired_daemon(*_sys.argv[2:3])
     elif len(_sys.argv) > 1 and _sys.argv[1] == "summarize":

@@ -33,6 +33,8 @@ HEADLINE = [
     "events_cooccur",
     "pricing_summary",
     "top_customers",
+    "kg_chunk_retrieval",
+    "minhash_pairs",
 ]
 
 
