@@ -250,6 +250,27 @@ def materialize_pages(spark, sf_dir: str, replicas: int, out_dir: str) -> None:
         "overwrite").parquet(out_dir)
 
 
+def _pages_cache_path(sf_dir: str, reps: int) -> str:
+    """Cache path for the materialized page table, keyed by (sf name, reps)
+    PLUS a short content/code hash — the base parquet's mtime+size and the
+    html-render kernel source — so a change to the corpus or to render_html
+    invalidates the cache instead of silently timing stale pages
+    (ADVICE r4 #2)."""
+    import hashlib
+    import inspect
+    import os
+
+    from .functions.html import render_html
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    ver = hashlib.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:".encode()
+        + inspect.getsource(render_html).encode()
+    ).hexdigest()[:8]
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/dev/shm/kg-pages-{sfname}-{reps}-{ver}"
+
+
 def scan_kg_run(spark, pages_path: str, sf_dir: str, out_dir: str) -> None:
     """The timed production-shaped job: scan the pages table → ONE Arrow
     crossing into fused extraction+NER → linking → mention sink. Identical
@@ -293,8 +314,7 @@ def _probe_main(cpus: str, reps: int, sf_dir: str, scan: bool = False) -> None:
                                       f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
     spark.sparkContext.setLogLevel("ERROR")
     if scan:
-        sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-        pages_path = f"/dev/shm/kg-pages-{sfname}-{reps}"
+        pages_path = _pages_cache_path(sf_dir, reps)
         if not os.path.exists(f"{pages_path}/_SUCCESS"):
             materialize_pages(spark, sf_dir, reps, pages_path)
         t0 = _t.perf_counter()
@@ -411,7 +431,11 @@ def _spinner_ceiling(n: int, seconds: float = 8.0) -> float:
     return float(sum(q.get() for _ in ps))
 
 
-_KERNEL_TEXTS: list[str] | None = None
+# kernel texts keyed by sf_dir (ADVICE r4 #5: a process-global unkeyed cache
+# returned stale texts if sf_dir changed within one process); worker
+# processes inherit the parent's loaded entry via fork.
+_KERNEL_TEXTS: dict[str, list[str]] = {}
+_KERNEL_SF: str | None = None  # the sf_dir _kernel_work should read
 
 
 def _kernel_work(args: tuple[int, int, int]) -> int:
@@ -420,11 +444,12 @@ def _kernel_work(args: tuple[int, int, int]) -> int:
     from .functions.html import extract_text, render_html
     from .functions.ner import RuleNER
 
+    texts = _KERNEL_TEXTS[_KERNEL_SF]
     det = RuleNER(flagship_gazetteer())
     n = 0
     for r in range(reps):
         for i in range(lo, hi):
-            h = render_html(f"doc://{i:08d}-{r:04d}", _KERNEL_TEXTS[i])
+            h = render_html(f"doc://{i:08d}-{r:04d}", texts[i])
             n += len(det(extract_text(h)))
     return n
 
@@ -440,13 +465,14 @@ def _kernel_marginal(sf_dir: str, nproc: int, reps_lo: int, reps_hi: int) -> flo
     import multiprocessing as mp
     import time as _t
 
-    global _KERNEL_TEXTS
-    if _KERNEL_TEXTS is None:
+    global _KERNEL_SF
+    if sf_dir not in _KERNEL_TEXTS:
         import duckdb
 
-        _KERNEL_TEXTS = [r[0] for r in duckdb.sql(
+        _KERNEL_TEXTS[sf_dir] = [r[0] for r in duckdb.sql(
             f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()]
-    n_docs = len(_KERNEL_TEXTS)
+    _KERNEL_SF = sf_dir
+    n_docs = len(_KERNEL_TEXTS[sf_dir])
     chunk = n_docs // nproc
 
     def one(reps: int) -> float:
@@ -636,6 +662,7 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
 
     base = _base_docs(sf_dir)
     done = 0
+    consec_errors = 0
     while done < max_cycles:
         if _host_busy():
             _t.sleep(20)
@@ -651,8 +678,18 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
                                             "workers_4") if k in r}}
             else:
                 cyc = one_paired_cycle(sf_dir, sizes, n_cores, base, scan=True)
-        except RuntimeError as e:
-            cyc = {"invalid": f"probe error: {e}"[:300]}
+            consec_errors = 0
+        except Exception as e:  # noqa: BLE001 — ANY cycle failure (malformed
+            # worker JSON, /dev/shm pressure, KeyError) must log an invalid
+            # cycle and continue, not kill the accumulation daemon silently
+            # (ADVICE r4 #3); 5 consecutive failures = systemic, stop.
+            cyc = {"invalid": f"probe error: {type(e).__name__}: {e}"[:300]}
+            consec_errors += 1
+            if consec_errors >= 5:
+                with open(jsonl_path, "a") as f:
+                    f.write(json.dumps({"invalid": "daemon stopped: 5 consecutive cycle errors"}) + "\n")
+                return
+            _t.sleep(30)
         if _host_busy():
             cyc["invalid"] = cyc.get("invalid") or "dev workload appeared mid-cycle"
         with open(jsonl_path, "a") as f:
@@ -744,11 +781,27 @@ if __name__ == "__main__":
         run_paired_daemon(*_sys.argv[2:3])
     elif len(_sys.argv) > 1 and _sys.argv[1] == "summarize":
         import json as _json
+        import statistics as _stats
 
         with open(_sys.argv[2] if len(_sys.argv) > 2
                   else "/root/repo/.scaling_cycles.jsonl") as _f:
             _cycles = [_json.loads(line) for line in _f if line.strip()]
-        print(_json.dumps(summarize_paired_cycles(_cycles), indent=2))
+        # partition by mode BEFORE summarizing (ADVICE r4 #5: jvms lines fed
+        # into the paired summarizer inflate n_cycles but can never be valid)
+        _paired = [c for c in _cycles if c.get("mode") != "jvms"]
+        _jvms = [c for c in _cycles if c.get("mode") == "jvms"]
+        _out = {"paired": summarize_paired_cycles(_paired)}
+        _ms = None
+        for _a in _sys.argv[3:]:
+            if _a.startswith("--max-steal="):
+                _ms = float(_a.split("=", 1)[1])
+                _out[f"paired_max_steal_{_ms}"] = summarize_paired_cycles(_paired, max_steal=_ms)
+        _jv = [c["value"] for c in _jvms if "value" in c]
+        _out["jvms"] = {"n_runs": len(_jvms), "n_valid": len(_jv)}
+        if _jv:
+            _out["jvms"]["median"] = round(_stats.median(_jv), 3)
+            _out["jvms"]["values"] = sorted(round(v, 3) for v in _jv)
+        print(_json.dumps(_out, indent=2))
     elif "--jvms" in _sys.argv:
         import json as _json
 

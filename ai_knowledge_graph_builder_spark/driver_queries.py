@@ -885,7 +885,14 @@ def kg_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.embed import token_sum_vectors
     from .operators.similarity import cosine_topk_join
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 80)
+    # empty-text filter mirrors the oracle's length(trim(text)) > 0 (an
+    # empty doc would otherwise add a zero-score chunk only on this side —
+    # ADVICE r4 #4); stride 10_000 matches the reference's _chunk_%04d id
+    # format so chunks can never alias across documents below 10k chunks/doc
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") < 80) & (F.length(F.trim(F.col("text"))) > 0))
+    )
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -894,7 +901,7 @@ def kg_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunks = chunk_text(text, chunk_size=40, overlap=10)
                 mat = token_sum_vectors([c.text for c in chunks], dim=64)
                 for c, v in zip(chunks, mat):
-                    ids.append(int(doc_id) * 100 + c.chunk_index)
+                    ids.append(int(doc_id) * 10_000 + c.chunk_index)
                     vecs.append([float(x) for x in v])
             yield pd.DataFrame({"chunk_id": pd.array(ids, dtype="int64"), "embedding": vecs})
 
@@ -910,8 +917,8 @@ def kg_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = chunks.filter(F.col("chunk_id") != 0)
     topk = cosine_topk_join(items, query, k=10, item_id="chunk_id", query_id="query_id")
     return topk.select(
-        F.floor(F.col("chunk_id") / 100).cast("long").alias("doc_id"),
-        (F.col("chunk_id") % 100).cast("long").alias("chunk_index"),
+        F.floor(F.col("chunk_id") / 10_000).cast("long").alias("doc_id"),
+        (F.col("chunk_id") % 10_000).cast("long").alias("chunk_index"),
         F.round("score", 4).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
