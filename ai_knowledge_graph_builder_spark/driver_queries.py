@@ -74,7 +74,10 @@ def flagship_gazetteer() -> list[tuple[str, str]]:
     return [(name, _GAZ_LABEL[etype]) for _, etype, name in FLAGSHIP_REGISTRY]
 
 
-def load_pages(spark: SparkSession, sf_dir: str, salted: bool = False) -> DataFrame:
+def load_pages(
+    spark: SparkSession, sf_dir: str, salted: bool = False,
+    limit_doc_id: int | None = None,
+) -> DataFrame:
     """documents.parquet → pages(url, warc_ts, html, text, lang): the
     Common-Crawl-shaped input table, synthesized deterministically.
 
@@ -82,8 +85,11 @@ def load_pages(spark: SparkSession, sf_dir: str, salted: bool = False) -> DataFr
     narrow (doc_id, text) parquet projection, so downstream fused stages can
     run ``presalted=True`` — the shuffle moves the small pre-render text
     instead of the rendered html payload (the same rows, ~6× fewer bytes on
-    the exchange)."""
+    the exchange). ``limit_doc_id`` filters BEFORE rendering so the
+    predicate reaches the parquet scan."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < limit_doc_id)
     if salted:
         n = 4 * spark.sparkContext.defaultParallelism
         docs = docs.repartition(n, F.pmod(F.xxhash64("doc_id"), F.lit(n)))
@@ -1811,3 +1817,406 @@ QUERIES["token_stats"] = token_stats
 ORACLES["token_stats"] = TOKEN_STATS_SQL
 QUERIES["media_metadata"] = media_metadata
 ORACLES["media_metadata"] = MEDIA_METADATA_SQL
+
+
+# ---------------------------------------------------------------------------
+# North-rule canonicalization: LSH cluster + connected-components fixpoint
+# ---------------------------------------------------------------------------
+def kg_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization family end-to-end with a full DuckDB value oracle
+    (SURVEY.md §7.3(a-b); reference alias-merge semantics
+    entity_extractor.py:196-263 extended per the north rule).
+
+    A planted arithmetic cluster corpus: doc_id < 60 become external
+    entities in 12 clusters (g = doc_id % 12) whose embeddings live on
+    DISJOINT 5-dim supports (value 100 on dims [5g, 5g+5)) plus a ±1
+    per-member perturbation on dim doc_id % 64. Because each support has an
+    ODD number of dims, every LSH hyperplane dot is 100·(odd ±1 sum) ± 1 —
+    never zero and never sign-flipped by the perturbation — so all members
+    of a cluster get IDENTICAL band signatures (all intra-cluster pairs are
+    candidates) while cross-cluster cosine is ≤ ~0.004 ≪ τ=0.85. doc_ids
+    60-64 are canonical (registry) entities: two in cluster 0 (the
+    transitive two-canonicals-one-component branch) and one each in
+    clusters 1-3 (representative inheritance). The DuckDB oracle recomputes
+    the ENTIRE dataflow — the md5 ±1 hyperplanes bit-for-bit
+    (functions/embed.py _token_vector), signature packing, (band, sig)
+    candidate join, exact-cosine verify, the never-merge-two-canonicals
+    filter, and the min-label fixpoint as a recursive CTE — so the hash
+    covers cluster membership and representative election."""
+    from .operators.canonical import cluster_external_entities
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 65)
+    )
+    d = F.col("doc_id")
+    ents = base.select(
+        "doc_id",
+        F.when(d < 60, F.format_string("ext_%04d", d))
+        .when(d == 60, F.lit("canon_00_a"))
+        .when(d == 61, F.lit("canon_00_b"))
+        .when(d == 62, F.lit("canon_01_a"))
+        .when(d == 63, F.lit("canon_02_a"))
+        .otherwise(F.lit("canon_03_a"))
+        .alias("id"),
+        F.when(d < 60, d % 12).when(d <= 61, F.lit(0)).otherwise(d - 61).alias("g"),
+        (d < 60).alias("is_ext"),
+    )
+    emb = ents.select(
+        F.col("id").alias("item_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(
+                (i >= F.col("g") * 5) & (i < F.col("g") * 5 + 5), F.lit(100.0)
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("is_ext") & (i == F.col("doc_id") % 64), F.lit(1.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    nodes = ents.select(
+        "id",
+        F.when(F.col("is_ext"), F.lit("ExternalEntity"))
+        .otherwise(F.lit("Entity"))
+        .alias("node_type"),
+    )
+    remap = cluster_external_entities(nodes, emb, tau=0.85, bands=16, rows_per_band=8)
+    return remap.select("id", "canonical_id")
+
+
+# The oracle recomputes lsh_signatures' md5 hyperplanes exactly: plane p,
+# dim d reads bit d of md5("0\x00lsh-plane:<p>") (MSB-first within each
+# byte), mapped to ±1 — the same hex-nibble extraction the chunk-retrieval
+# oracle uses for the md5-BoW kernel. Signature packing matches
+# similarity.py:56-63 (band = p // 8, weight = 1 << (p % 8)); the fixpoint
+# is reachability-min via a recursive CTE (rep = MIN over the component).
+KG_CANONICAL_CLUSTERS_SQL = """
+WITH RECURSIVE ents AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 60 THEN printf('ext_%04d', doc_id)
+              WHEN doc_id = 60 THEN 'canon_00_a'
+              WHEN doc_id = 61 THEN 'canon_00_b'
+              WHEN doc_id = 62 THEN 'canon_01_a'
+              WHEN doc_id = 63 THEN 'canon_02_a'
+              ELSE 'canon_03_a' END AS id,
+         CASE WHEN doc_id < 60 THEN doc_id % 12
+              WHEN doc_id <= 61 THEN 0 ELSE doc_id - 61 END AS g,
+         doc_id < 60 AS is_ext
+  FROM documents WHERE doc_id < 65
+),
+dims AS (SELECT unnest(range(0, 64)) AS dim),
+emb AS (
+  SELECT e.id, d.dim,
+         (CASE WHEN d.dim >= e.g * 5 AND d.dim < e.g * 5 + 5 THEN 100.0 ELSE 0.0 END
+          + CASE WHEN e.is_ext AND d.dim = e.doc_id % 64 THEN 1.0 ELSE 0.0 END) AS v
+  FROM ents e, dims d
+),
+planes AS (
+  SELECT p.p, d.dim,
+         (2 * (((strpos('0123456789abcdef',
+                  substr(md5('0' || chr(0) || 'lsh-plane:' || p.p),
+                         (d.dim // 8) * 2 + CASE WHEN d.dim % 8 < 4 THEN 1 ELSE 2 END, 1)) - 1)
+                // (CASE d.dim % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)::DOUBLE AS pv
+  FROM (SELECT unnest(range(0, 128)) AS p) p, dims d
+),
+bits AS (
+  SELECT m.id, pl.p, (SUM(m.v * pl.pv) > 0)::BIGINT AS bit
+  FROM emb m JOIN planes pl ON m.dim = pl.dim
+  GROUP BY 1, 2
+),
+sigs AS (
+  SELECT id, (p // 8)::INT AS band, SUM(bit * (1 << (p % 8)))::BIGINT AS sig
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT s1.id AS a, s2.id AS b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.band = s2.band AND s1.sig = s2.sig AND s1.id < s2.id
+),
+verified AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN emb ea ON ea.id = c.a
+  JOIN emb eb ON eb.id = c.b AND eb.dim = ea.dim
+  GROUP BY 1, 2
+  HAVING SUM(ea.v * eb.v)
+           / (sqrt(SUM(ea.v * ea.v)) * sqrt(SUM(eb.v * eb.v))) >= 0.85
+),
+edges AS (
+  SELECT v.a, v.b
+  FROM verified v
+  JOIN ents ta ON ta.id = v.a
+  JOIN ents tb ON tb.id = v.b
+  WHERE ta.is_ext OR tb.is_ext
+),
+sym AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b AS x, a AS y FROM edges),
+walk(id, rep) AS (
+  SELECT DISTINCT x AS id, x AS rep FROM sym
+  UNION
+  SELECT s.x AS id, w.rep FROM sym s JOIN walk w ON w.id = s.y
+),
+comp AS (SELECT id, MIN(rep) AS rep FROM walk GROUP BY id),
+repr AS (
+  SELECT c.rep,
+         MIN(CASE WHEN NOT e.is_ext THEN c.id END) AS canon_rep,
+         MIN(c.id) AS min_rep
+  FROM comp c JOIN ents e ON e.id = c.id
+  GROUP BY 1
+)
+SELECT c.id, coalesce(r.canon_rep, r.min_rep) AS canonical_id
+FROM comp c
+JOIN repr r ON r.rep = c.rep
+JOIN ents e ON e.id = c.id
+WHERE e.is_ext AND c.id <> coalesce(r.canon_rep, r.min_rep)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: the full RAG confidence formula through GraphRetriever.answer
+# ---------------------------------------------------------------------------
+def kg_rag_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (rag_system.py:688-711) value-checked through the real
+    GraphRetriever.answer path: top-k retrieval (k=10 triples / 15 chunks,
+    min_sim 0.15), contradiction detection (flagged triples + contradicted
+    chunk documents, the J6 chunk_meta seam), the −0.15/contradiction
+    penalty capped at 0.3, the +0.15/csv boost capped at 0.30, the [0,1]
+    clamp and 3dp round, the min-sources gate, and the P11 answer cleanup.
+
+    The planted retrieval set makes every similarity ORACLE-COMPUTABLE
+    without any vector math: item embeddings are integer combinations
+    a·t + b·(t⊙s) of the question token's md5 ±1 direction t (s = the
+    alternating ±1 parity pattern, exactly orthogonal to t under the
+    question), so cosine(q, item) = a/√(a²+b²) analytically — the md5
+    kernel cancels. Four scenarios from doc_id arithmetic: plain /
+    contradiction-cap / csv-boost-cap / below-min-sim (the empty no-source
+    branch). Aggregates only are emitted (rank order within the five
+    exactly-tied 0.7071 items is float-noise-dependent and excluded by
+    design; the retrieved SET is noise-safe — the k-cut falls between
+    scores 0.275 and 0.243)."""
+    import numpy as np
+
+    from .functions.embed import DIM, _token_vector
+    from .plans.rag import GraphRetriever
+
+    ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(
+            (F.col("doc_id") < 12)
+            | ((F.col("doc_id") >= 100) & (F.col("doc_id") < 106))
+        )
+        .collect()
+    )
+    t_ids = [int(i) for i in ids if i < 12]
+    c_ids = [int(i) for i in ids if i >= 100]
+    t = _token_vector("alpha", DIM).astype(np.float64)
+    s = np.where(np.arange(DIM) % 2 == 0, 1.0, -1.0)
+
+    rows_out = []
+    for sc in range(4):
+        trip_rows, emb_rows, meta_rows = [], [], []
+        for i in t_ids:
+            a = float(1 + i % 5) * (-1.0 if sc == 3 else 1.0)
+            b = float(1 + i % 7)
+            trip_rows.append(
+                {
+                    "subject_id": f"ent_{i}",
+                    "predicate": "RELATES_TO",
+                    "object_id": f"proj_{i}",
+                    "text": f"entity {i} relates to project {i}",
+                    "confidence": 0.5 + (i % 5) * 0.1,
+                    "flagged": bool(sc == 1 and i % 4 == 0),
+                    "source": "registry.csv" if (sc == 2 and i % 3 == 0) else f"doc_{i}.txt",
+                }
+            )
+            emb_rows.append(
+                {
+                    "item_id": f"ent_{i}|RELATES_TO|proj_{i}",
+                    "kind": "triple",
+                    "embedding": (a * t + b * (t * s)).tolist(),
+                }
+            )
+        for i in c_ids:
+            a = float(1 + i % 5) * (-1.0 if sc == 3 else 1.0)
+            b = float(1 + i % 7)
+            emb_rows.append(
+                {
+                    "item_id": f"chunk_{i}",
+                    "kind": "chunk",
+                    "embedding": (a * t + b * (t * s)).tolist(),
+                }
+            )
+            meta_rows.append(
+                {
+                    "item_id": f"chunk_{i}",
+                    "doc_filename": f"doc_{i}.txt",
+                    "has_contradictions": bool(sc == 1 and i % 3 == 0),
+                }
+            )
+        retr = GraphRetriever(
+            spark,
+            spark.createDataFrame(pd.DataFrame(trip_rows)),
+            spark.createDataFrame(pd.DataFrame(emb_rows)),
+            chunk_meta=spark.createDataFrame(pd.DataFrame(meta_rows)),
+        )
+        ans = retr.answer("alpha")
+        retr.triple_emb.unpersist()
+        retr.chunk_emb.unpersist()
+        rows_out.append(
+            {
+                "scenario": sc,
+                "answer": ans["answer"],
+                "confidence": float(ans["confidence"]),
+                "n_contradictions": len(ans["contradictions"]),
+                "n_sources": len(ans["sources"]),
+                "has_sufficient_sources": bool(ans["has_sufficient_sources"]),
+                # 0.0 sentinel (not NULL) for the empty scenario so both
+                # engines agree without NaN-vs-NULL hash ambiguity
+                "top_score": float(ans["sources"][0][1]) if ans["sources"] else 0.0,
+            }
+        )
+    out = pd.DataFrame(rows_out)
+    out["scenario"] = out["scenario"].astype("int64")
+    out["n_contradictions"] = out["n_contradictions"].astype("int64")
+    out["n_sources"] = out["n_sources"].astype("int64")
+    return spark.createDataFrame(out)
+
+
+KG_RAG_CONFIDENCE_SQL = """
+WITH sc AS (SELECT unnest(range(0, 4)) AS scenario),
+tri AS (
+  SELECT s.scenario, d.doc_id,
+         ((1 + d.doc_id % 5) * (CASE WHEN s.scenario = 3 THEN -1 ELSE 1 END))::DOUBLE AS a,
+         (1 + d.doc_id % 7)::DOUBLE AS b,
+         0.5 + (d.doc_id % 5) * 0.1 AS conf,
+         (s.scenario = 1 AND d.doc_id % 4 = 0) AS flagged,
+         (s.scenario = 2 AND d.doc_id % 3 = 0) AS is_csv,
+         printf('ent_%d|RELATES_TO|proj_%d', d.doc_id, d.doc_id) AS item_id
+  FROM documents d, sc s WHERE d.doc_id < 12
+),
+tri_ranked AS (
+  SELECT *, a / sqrt(a * a + b * b) AS score,
+         ROW_NUMBER() OVER (PARTITION BY scenario
+                            ORDER BY a / sqrt(a * a + b * b) DESC, item_id) AS rnk
+  FROM tri
+  WHERE a / sqrt(a * a + b * b) >= 0.15
+),
+tri_kept AS (SELECT * FROM tri_ranked WHERE rnk <= 10),
+chk AS (
+  SELECT s.scenario, d.doc_id,
+         ((1 + d.doc_id % 5) * (CASE WHEN s.scenario = 3 THEN -1 ELSE 1 END))::DOUBLE AS a,
+         (1 + d.doc_id % 7)::DOUBLE AS b,
+         (s.scenario = 1 AND d.doc_id % 3 = 0) AS has_contra
+  FROM documents d, sc s WHERE d.doc_id >= 100 AND d.doc_id < 106
+),
+chk_kept AS (
+  SELECT *, a / sqrt(a * a + b * b) AS score
+  FROM chk WHERE a / sqrt(a * a + b * b) >= 0.15
+),
+t_agg AS (
+  SELECT scenario, count(*)::BIGINT AS nt, SUM(conf) AS sum_conf,
+         SUM(score) AS sum_ts,
+         SUM(flagged::INT)::BIGINT AS n_flag,
+         SUM(is_csv::INT)::BIGINT AS n_csv,
+         MAX(score) AS top_raw
+  FROM tri_kept GROUP BY 1
+),
+best AS (
+  SELECT scenario,
+         printf('Entity %d relates to project %d', doc_id, doc_id) AS answer
+  FROM tri_ranked WHERE rnk = 1
+),
+c_agg AS (
+  SELECT scenario, count(*)::BIGINT AS nc, SUM(score) AS sum_cs,
+         SUM(has_contra::INT)::BIGINT AS n_chunk_contra
+  FROM chk_kept GROUP BY 1
+)
+SELECT s.scenario::BIGINT AS scenario,
+       CASE WHEN coalesce(t.nt, 0) + coalesce(c.nc, 0) = 0 THEN NULL
+            ELSE b.answer END AS answer,
+       CASE WHEN coalesce(t.nt, 0) + coalesce(c.nc, 0) = 0 THEN 0.0
+            ELSE GREATEST(0.0, LEAST(1.0, ROUND(
+              (coalesce(t.sum_conf, 0) + coalesce(t.sum_ts, 0) + coalesce(c.sum_cs, 0))
+                / (2 * coalesce(t.nt, 0) + coalesce(c.nc, 0))
+              - LEAST((coalesce(t.n_flag, 0) + coalesce(c.n_chunk_contra, 0)) * 0.15, 0.3)
+              + LEAST(coalesce(t.n_csv, 0) * 0.15, 0.30), 3))) END AS confidence,
+       (coalesce(t.n_flag, 0) + coalesce(c.n_chunk_contra, 0))::BIGINT AS n_contradictions,
+       LEAST(coalesce(t.nt, 0), 3)::BIGINT AS n_sources,
+       (coalesce(t.nt, 0) + coalesce(c.nc, 0) >= 1) AS has_sufficient_sources,
+       coalesce(ROUND(t.top_raw, 4), 0.0) AS top_score
+FROM sc s
+LEFT JOIN t_agg t ON t.scenario = s.scenario
+LEFT JOIN c_agg c ON c.scenario = s.scenario
+LEFT JOIN best b ON b.scenario = s.scenario
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6: document–metadata broadcast join through the real extraction operator
+# ---------------------------------------------------------------------------
+def kg_doc_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (neo4j_loader.py:246-256 analog): pages → extract_documents with a
+    planted doc_meta side joined broadcast-left — both join branches
+    value-checked (odd doc_ids have NO metadata row → NULL doc_type /
+    confidence / has_contradictions), plus the contradictions-array
+    coalesce branch (NULL array vs empty vs non-empty). word_count rides
+    from the Python str.split() kernel inside the extraction UDF, so the
+    row hash also re-proves the extract_text(render_html(text)) == text
+    byte identity over this slice."""
+    from .operators.extraction import extract_documents
+
+    pages = load_pages(spark, sf_dir, salted=True, limit_doc_id=200)
+    d = F.col("doc_id")
+    meta = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter((d < 200) & (d % 2 == 0))
+        .select(
+            F.format_string("doc://%08d", d).alias("url"),
+            F.element_at(
+                F.array(F.lit("txt"), F.lit("docx"), F.lit("pdf")),
+                (d % 3 + 1).cast("int"),
+            ).alias("doc_type"),
+            (0.5 + (d % 5) * 0.1).alias("confidence_alignment"),
+            F.when(d % 5 == 0, F.lit(None).cast("array<string>"))
+            .when(d % 7 == 0, F.array(F.lit("conflict")))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("contradictions"),
+        )
+    )
+    out = extract_documents(pages, meta, presalted=True)
+    return out.select(
+        "url",
+        "doc_type",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.round("confidence", 4).alias("confidence"),
+        "has_contradictions",
+    )
+
+
+KG_DOC_METADATA_SQL = """
+SELECT printf('doc://%08d', doc_id) AS url,
+       CASE WHEN doc_id % 2 = 1 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'txt'
+            WHEN doc_id % 3 = 1 THEN 'docx'
+            ELSE 'pdf' END AS doc_type,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS word_count,
+       CASE WHEN doc_id % 2 = 1 THEN NULL
+            ELSE ROUND((0.5 + (doc_id % 5) * 0.1)::DOUBLE, 4) END AS confidence,
+       CASE WHEN doc_id % 2 = 1 THEN NULL
+            WHEN doc_id % 5 = 0 THEN FALSE
+            WHEN doc_id % 7 = 0 THEN TRUE
+            ELSE FALSE END AS has_contradictions
+FROM documents WHERE doc_id < 200
+"""
+
+
+QUERIES["kg_canonical_clusters"] = kg_canonical_clusters
+ORACLES["kg_canonical_clusters"] = KG_CANONICAL_CLUSTERS_SQL
+QUERIES["kg_rag_confidence"] = kg_rag_confidence
+ORACLES["kg_rag_confidence"] = KG_RAG_CONFIDENCE_SQL
+QUERIES["kg_doc_metadata"] = kg_doc_metadata
+ORACLES["kg_doc_metadata"] = KG_DOC_METADATA_SQL
