@@ -204,6 +204,79 @@ def run_scaling(jvms: bool = False) -> dict:
     return run_thread_scaling(sf_dir=sf_dir)
 
 
+def run_linking_modes() -> dict:
+    """Shuffle-mode linking at probe scale (VERDICT r4 ask #4): the
+    both-modes equality test runs at 200 docs; this measures the sort-merge
+    fallback's actual cost curve on an open-vocabulary corpus at the sf0.1
+    document count (5,000 docs ⇒ ~60k distinct unresolved norms, ≥0 limit
+    forces the fallback). Reports both modes' resolve_mentions wall time
+    over the SAME persisted mention relation, plus the plan-shape proof
+    that the shuffle mode actually engaged."""
+    from ai_knowledge_graph_builder_spark.operators.extraction import extract_documents
+    from ai_knowledge_graph_builder_spark.operators.linking import (
+        build_alias_table,
+        resolve_mentions,
+    )
+    from ai_knowledge_graph_builder_spark.operators.mentions import detect_mentions
+    from ai_knowledge_graph_builder_spark.session import get_spark
+    from ai_knowledge_graph_builder_spark.sources.corpus import (
+        generate_corpus,
+        open_vocab_pages,
+    )
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_OPENVOCAB_DOCS", "5000"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("kg-linking-modes", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = spark.createDataFrame(open_vocab_pages(n_docs=n_docs, uniques_per_doc=12))
+    mentions_raw = detect_mentions(extract_documents(pages)).persist()
+    n_mentions = mentions_raw.count()
+    reg = generate_corpus(seed=42, waves=1, n_emails=0, n_external=0)["registry"]
+    aliases = spark.createDataFrame(reg).transform(build_alias_table).persist()
+    aliases.count()
+
+    import contextlib
+    import io
+
+    out: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for mode, limit in (("broadcast", 10**9), ("shuffle", 0)):
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            mentions_raw.persist().count()
+            aliases.persist().count()
+            t0 = time.perf_counter()
+            resolved, ext = resolve_mentions(
+                mentions_raw, aliases, broadcast_norm_limit=limit
+            )
+            resolved.write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            best = sec if best is None or sec < best else best
+        out[mode] = round(best, 3)
+        rows[mode] = resolved.count()
+        if mode == "shuffle":
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                resolved.explain("formatted")
+            assert "SortMergeJoin" in buf.getvalue(), "shuffle mode did not engage"
+
+    assert rows["broadcast"] == rows["shuffle"], rows
+    return {
+        "metric": "linking_mode_sec",
+        "unit": "sec",
+        "broadcast_sec": out["broadcast"],
+        "shuffle_sec": out["shuffle"],
+        "shuffle_over_broadcast": round(out["shuffle"] / out["broadcast"], 3),
+        "n_docs": n_docs,
+        "n_mentions": n_mentions,
+        "resolved_rows": rows["shuffle"],
+        "timing": "min-of-2 per mode, same persisted mention relation",
+        "cpus": int(cpus),
+    }
+
+
 def run_kg_only() -> dict:
     from ai_knowledge_graph_builder_spark.driver_queries import QUERIES
     from ai_knowledge_graph_builder_spark.session import get_spark
@@ -258,6 +331,8 @@ def sync_bench_md(result: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(jvms="--jvms" in sys.argv)))
+    elif "--linking-modes" in sys.argv:
+        print(json.dumps(run_linking_modes()))
     elif "--kg-only" in sys.argv:
         print(json.dumps(run_kg_only()))
     else:
