@@ -8,6 +8,7 @@ dominates; both runs use identical input and plan."""
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import functions as F
@@ -142,6 +143,49 @@ def slice_kg_run(spark, sf_dir: str, replicas: int, rep_offset: int, out_dir: st
     return n
 
 
+def slice_kg_run_r1(spark, sf_dir: str, replicas: int, rep_offset: int,
+                    out_dir: str) -> int:
+    """Round-1-FAITHFUL slice job (the 0.91-vs-0.30 autopsy, VERDICT r4
+    'What's wrong' #2): html synthesized INSIDE the timed job, UNFUSED
+    extract_documents → detect_mentions (so the page payload crosses the
+    JVM↔Python boundary three times instead of once), full-width mention
+    write — the job shape round 1's 4-JVM probe actually timed, with
+    ~3-4× the per-doc CPU of the current fused slice. Linking is today's
+    resolve_mentions (the r1 file is otherwise reproduced verbatim from
+    commit d643fcc); extraction+NER dominate the slice either way."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .functions.html import render_html
+    from .operators.extraction import extract_documents
+    from .operators.mentions import detect_mentions
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("rep", F.explode(
+            F.sequence(F.lit(rep_offset), F.lit(rep_offset + replicas - 1))))
+    )
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = [f"doc://{d:08d}-{r:04d}" for d, r in zip(pdf["doc_id"], pdf["rep"])]
+            htmls = [render_html(u, t) for u, t in zip(urls, pdf["text"])]
+            yield pd.DataFrame({"url": urls, "html": htmls,
+                                "text": pdf["text"], "lang": pdf["lang"]})
+
+    pages = docs.mapInPandas(_mk, "url string, html binary, text string, lang string")
+    documents = extract_documents(pages)
+    mentions_raw = detect_mentions(documents, flagship_gazetteer())
+    aliases = build_alias_table(flagship_registry_df(spark))
+    mentions, _ = resolve_mentions(mentions_raw, aliases)
+    mentions.write.mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * replicas
+    return n
+
+
 def finish_kg(spark, mentions_dirs: list[str]):
     """The small global tail: co-occurrence counting + rule inference over
     all executors' mentions tables (two-level aggregation — partial work
@@ -189,9 +233,9 @@ def _guarded_run(fn, max_tries: int = 5, steal_budget: float = 0.02,
     return best, best_steal
 
 
-def _worker_main(cpus: str, reps: int, offset: int, out_dir: str, sf_dir: str) -> None:
+def _worker_main(cpus: str, reps: int, offset: int, out_dir: str, sf_dir: str,
+                 job: str = "fused") -> None:
     import json
-    import os
     import time as _t
 
     from .session import get_spark
@@ -202,13 +246,18 @@ def _worker_main(cpus: str, reps: int, offset: int, out_dir: str, sf_dir: str) -
     # (measured: the 4x8 point at 320 reps = 157.6 s at 13.4% steal with
     # auto-sized G1 vs 80.1 s at 1.4% steal with this config). Cluster
     # managers pass exactly this information to executor JVMs.
+    # job="r1" additionally supports SPARK_GRAFT_R1_AUTOGC=1 to drop these
+    # flags entirely — the fully round-1-faithful JVM configuration.
+    extra = {"spark.local.dir": f"/dev/shm/spark-w{offset}"}
+    if not (job == "r1" and os.environ.get("SPARK_GRAFT_R1_AUTOGC")):
+        extra["spark.driver.extraJavaOptions"] = (
+            f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC")
     spark = get_spark(f"kg-worker-{offset}", master=f"local[{cpus}]",
-                      extra_conf={"spark.local.dir": f"/dev/shm/spark-w{offset}",
-                                  "spark.driver.extraJavaOptions":
-                                      f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
+                      extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
+    run = slice_kg_run_r1 if job == "r1" else slice_kg_run
     t0 = _t.perf_counter()
-    n = slice_kg_run(spark, sf_dir, reps, offset, out_dir)
+    n = run(spark, sf_dir, reps, offset, out_dir)
     print(json.dumps({"offset": offset, "docs": n, "sec": round(_t.perf_counter() - t0, 1)}))
 
 
@@ -698,7 +747,8 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
 
 
 def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
-                        sizes: tuple[int, ...] = (64, 160, 320)) -> dict:
+                        sizes: tuple[int, ...] = (64, 160, 320),
+                        job: str = "fused") -> dict:
     """The N vs 4N executor criterion, emulated honestly: 1 vs 4 SEPARATE
     8-core-pinned worker JVMs (own GC / scheduler / Python daemons — what
     cluster executors actually are) over disjoint slices of the same input.
@@ -720,7 +770,8 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
         procs = []
         for w in range(n_workers):
             cmd = [sys.executable, "-m", "ai_knowledge_graph_builder_spark.bench_scaling",
-                   "worker", "8", str(per), str(w * per), f"/dev/shm/kgslices/w{w}", sf_dir]
+                   "worker", "8", str(per), str(w * per), f"/dev/shm/kgslices/w{w}",
+                   sf_dir, job]
             if have_taskset:
                 cmd = ["taskset", "-c", f"{w * 8}-{w * 8 + 7}"] + cmd
             procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -731,7 +782,7 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
         n_docs = reps_total * _base_docs(sf_dir)
         return _t.perf_counter() - t0, n_docs
 
-    res: dict = {"sf_dir": sf_dir,
+    res: dict = {"sf_dir": sf_dir, "job": job,
                  "method": "least-squares marginal throughput over sizes, 1 vs 4 pinned 8-core worker JVMs"}
     for nw in (1, 4):
         # min-of-2 per size (hypervisor-noise swings up to 50%), then a
@@ -772,7 +823,14 @@ if __name__ == "__main__":
     import sys as _sys
 
     if len(_sys.argv) > 1 and _sys.argv[1] == "worker":
-        _worker_main(_sys.argv[2], int(_sys.argv[3]), int(_sys.argv[4]), _sys.argv[5], _sys.argv[6])
+        _worker_main(_sys.argv[2], int(_sys.argv[3]), int(_sys.argv[4]),
+                     _sys.argv[5], _sys.argv[6],
+                     _sys.argv[7] if len(_sys.argv) > 7 else "fused")
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "jvms-r1":
+        import json as _json
+
+        print(_json.dumps(run_cluster_scaling(
+            sizes=(32, 96, 192), job="r1")))
     elif len(_sys.argv) > 1 and _sys.argv[1] == "probe":
         _probe_main(_sys.argv[2], int(_sys.argv[3]), _sys.argv[4],
                     scan=(_sys.argv[5] if len(_sys.argv) > 5
