@@ -718,10 +718,14 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             continue
         try:
             if jvms_every and done % jvms_every == jvms_every - 1:
+                # alternate the current fused job with the round-1-faithful
+                # unfused job (the 0.91-vs-0.30 autopsy, VERDICT r4 #2) so
+                # both accumulate readings from the same idle-gated windows
+                job = "r1" if (done // jvms_every) % 2 else "fused"
                 s0, t0 = _steal_snapshot()
-                r = run_cluster_scaling(sf_dir=sf_dir, sizes=(160, 320))
+                r = run_cluster_scaling(sf_dir=sf_dir, sizes=(160, 320), job=job)
                 s1, t1 = _steal_snapshot()
-                cyc = {"mode": "jvms",
+                cyc = {"mode": "jvms", "job": job,
                        "steal": round((s1 - s0) / max(t1 - t0, 1), 4),
                        **{k: r[k] for k in ("value", "invalid", "workers_1",
                                             "workers_4") if k in r}}
@@ -859,6 +863,12 @@ if __name__ == "__main__":
         if _jv:
             _out["jvms"]["median"] = round(_stats.median(_jv), 3)
             _out["jvms"]["values"] = sorted(round(v, 3) for v in _jv)
+        for _job in ("fused", "r1"):
+            _v = [c["value"] for c in _jvms
+                  if "value" in c and c.get("job", "fused") == _job]
+            if _v:
+                _out["jvms"][f"{_job}_median"] = round(_stats.median(_v), 3)
+                _out["jvms"][f"{_job}_values"] = sorted(round(x, 3) for x in _v)
         print(_json.dumps(_out, indent=2))
     elif "--jvms" in _sys.argv:
         import json as _json
