@@ -767,9 +767,10 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
 
     have_taskset = shutil.which("taskset") is not None
 
-    def workers(n_workers: int, reps_total: int) -> tuple[float, int]:
+    def workers(n_workers: int, reps_total: int) -> tuple[float, int, float]:
         shutil.rmtree("/dev/shm/kgslices", ignore_errors=True)
         per = reps_total // n_workers
+        s0, st0 = _steal_snapshot()
         t0 = _t.perf_counter()
         procs = []
         for w in range(n_workers):
@@ -783,8 +784,10 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
                                           cwd="/root/repo"))
         for p in procs:
             p.wait()
+        sec = _t.perf_counter() - t0
+        s1, st1 = _steal_snapshot()
         n_docs = reps_total * _base_docs(sf_dir)
-        return _t.perf_counter() - t0, n_docs
+        return sec, n_docs, (s1 - s0) / max(st1 - st0, 1)
 
     res: dict = {"sf_dir": sf_dir, "job": job,
                  "method": "least-squares marginal throughput over sizes, 1 vs 4 pinned 8-core worker JVMs"}
@@ -795,15 +798,20 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
         # can drive super-linear or negative.
         pts = []
         for reps in sizes:
-            t1, n = workers(nw, reps)
-            t2, _ = workers(nw, reps)
-            pts.append((n, min(t1, t2)))
+            t1, n, st1 = workers(nw, reps)
+            t2, _, st2 = workers(nw, reps)
+            # keep the faster try and ITS steal reading; a >5% steal burst
+            # on a kept point invalidates the whole run (the same rule the
+            # paired protocol applies — three contaminated manual runs this
+            # round produced physically impossible flat 1-worker slopes)
+            pts.append((n, min(t1, t2), st1 if t1 <= t2 else st2))
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
         slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum((x - mx) ** 2 for x in xs)
         res[f"workers_{nw}"] = {
-            "points": [{"docs": x, "sec": round(y, 1)} for x, y in pts],
+            "points": [{"docs": x, "sec": round(y, 1), "steal": round(s, 4)}
+                       for x, y, s in pts],
             "fixed_cost_s": round(my - slope * mx, 1),
         }
         if slope <= 0:
@@ -811,6 +819,11 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
             # absurd marginal (same failure mode the paired protocol
             # discards) — mark the run invalid instead
             res["invalid"] = f"non-monotone timing at {nw} workers"
+            res["metric"] = "scaling_efficiency_N_to_4N"
+            res["unit"] = "ratio"
+            return res
+        if max(p[2] for p in pts) > 0.05:
+            res["invalid"] = f"steal burst at {nw} workers (>5%)"
             res["metric"] = "scaling_efficiency_N_to_4N"
             res["unit"] = "ratio"
             return res
