@@ -2220,3 +2220,59 @@ QUERIES["kg_rag_confidence"] = kg_rag_confidence
 ORACLES["kg_rag_confidence"] = KG_RAG_CONFIDENCE_SQL
 QUERIES["kg_doc_metadata"] = kg_doc_metadata
 ORACLES["kg_doc_metadata"] = KG_DOC_METADATA_SQL
+
+
+# ---------------------------------------------------------------------------
+# S9 + S12 + A5: partitioned triple sink → footer-only lineage manifest
+# ---------------------------------------------------------------------------
+def kg_lineage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink/lineage family (S9 partitioned triple sink, S12 phase-log
+    lineage, A5 stats counters) under driver-oracle coverage: actually WRITE
+    the flagship's assembled triples to a predicate-partitioned parquet stage
+    (the Iceberg-style graph-table layout, neo4j_loader.py's edge load
+    re-expressed as a columnar sink) and read the manifest back with
+    ``compute_lineage`` — parquet FOOTERS only, the same row-count /
+    key-min-max info an Iceberg manifest carries, zero scan cost. The
+    returned per-predicate rollup (row count, subject-id min/max from the
+    column statistics) is recomputed independently by the DuckDB oracle from
+    the raw tables, so a broken write (lost partition, dropped rows, wrong
+    partition column) or broken footer-stats reader flips the hash."""
+    import shutil
+    import tempfile
+
+    from .plans.checkpoint import compute_lineage
+
+    t = _flagship_assembled_triples(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="kg-lineage-")
+    stage = f"{tmp}/triples"
+    try:
+        # one task per predicate value → one file per partition dir; the
+        # rollup below is file-count-agnostic either way
+        t.repartition("predicate").write.partitionBy("predicate").parquet(stage)
+        rows = compute_lineage(spark, stage, key_col="subject_id")
+        agg: dict[str, list] = {}
+        for r in rows:
+            pred = r["split"].split("/", 1)[0].split("=", 1)[1]
+            cur = agg.setdefault(pred, [0, None, None])
+            cur[0] += r["row_count"]
+            if r["min_key"] is not None:
+                cur[1] = r["min_key"] if cur[1] is None else min(cur[1], r["min_key"])
+            if r["max_key"] is not None:
+                cur[2] = r["max_key"] if cur[2] is None else max(cur[2], r["max_key"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(p, n, mn, mx) for p, (n, mn, mx) in sorted(agg.items())],
+        "predicate string, n_rows long, min_subject string, max_subject string",
+    )
+
+
+KG_LINEAGE_MANIFEST_SQL = f"""
+WITH inf AS ({KG_INFERRED_TRIPLES_SQL})
+SELECT predicate, count(*)::BIGINT AS n_rows,
+       min(subject_id) AS min_subject, max(subject_id) AS max_subject
+FROM inf GROUP BY predicate
+"""
+
+QUERIES["kg_lineage_manifest"] = kg_lineage_manifest
+ORACLES["kg_lineage_manifest"] = KG_LINEAGE_MANIFEST_SQL
