@@ -2276,3 +2276,121 @@ FROM inf GROUP BY predicate
 
 QUERIES["kg_lineage_manifest"] = kg_lineage_manifest
 ORACLES["kg_lineage_manifest"] = KG_LINEAGE_MANIFEST_SQL
+
+
+# ---------------------------------------------------------------------------
+# U7: question-side person-name heuristic → graph context (retrieve path)
+# ---------------------------------------------------------------------------
+def kg_person_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 (rag_system.py:460-484) under driver-oracle coverage: the
+    capitalized-word person-name heuristic — question-stopword skipping,
+    the ``rstrip("'s")`` possessive quirk, first-two-words cap — through
+    the REAL ``GraphRetriever.retrieve`` context path (name → CONTAINS
+    node match → one_hop_context with the MENTIONS/SENT exclusion).
+    Four questions: a two-word name, a possessive single name ("Frank's"
+    → "Frank"), a no-capitalized-word question (None → empty context, so
+    any spurious rows flip the hash), and a name past extra capitalized
+    words (first-two cap). The retrieval side is planted EMPTY, so every
+    context row comes from the heuristic alone; nodes/edges derive
+    arithmetically from ``documents`` and the oracle recomputes the
+    whole expansion with the hand-evaluated extracted names."""
+    from .plans.rag import GraphRetriever
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("long")
+    pnodes = docs.filter(did < 30).select(
+        F.concat(F.lit("p_"), did.cast("string")).alias("id"),
+        F.when(did % 10 == 0, F.lit("Dana Stone"))
+        .when(did % 10 == 1, F.lit("Frank Miller"))
+        .when(did % 10 == 2, F.lit("Mia Park"))
+        .otherwise(F.concat(F.lit("Node "), did.cast("string")))
+        .alias("name"),
+    )
+    projn = docs.filter(did < 4).select(
+        F.concat(F.lit("proj_"), did.cast("string")).alias("id"),
+        F.concat(F.lit("Project "), did.cast("string")).alias("name"),
+    )
+    nodes = pnodes.unionByName(projn)
+    edges = docs.filter(did < 30).select(
+        F.concat(F.lit("p_"), did.cast("string")).alias("src"),
+        F.concat(F.lit("proj_"), (did % 4).cast("string")).alias("dst"),
+        F.when(did % 3 == 0, F.lit("WORKS_ON"))
+        .when(did % 3 == 1, F.lit("REPORTS_TO"))
+        .otherwise(F.lit("MENTIONS"))
+        .alias("predicate"),
+        F.round(F.lit(0.5) + (did % 5).cast("double") * 0.1, 4).alias("confidence"),
+    )
+    empty_triples = spark.createDataFrame(
+        [],
+        "subject_id string, predicate string, object_id string, text string,"
+        " confidence double, flagged boolean, source string",
+    )
+    empty_emb = spark.createDataFrame(
+        [], "item_id string, kind string, embedding array<double>"
+    )
+    retr = GraphRetriever(
+        spark, empty_triples, empty_emb, nodes=nodes, edges=edges
+    )
+    questions = [
+        (0, "Who does Dana Stone work with"),
+        (1, "What is Frank's role"),
+        (2, "who manages the team"),
+        (3, "Does Mia Park manage Dana Stone"),
+    ]
+    out = None
+    try:
+        for sc, q in questions:
+            ctx = retr.retrieve(q)["graph_context"].withColumn(
+                "scenario", F.lit(sc).cast("long")
+            )
+            out = ctx if out is None else out.unionByName(ctx)
+    finally:
+        retr.triple_emb.unpersist()
+        retr.chunk_emb.unpersist()
+    return out.select(
+        "scenario", "src", "src_name", "predicate", "dst", "dst_name", "confidence"
+    )
+
+
+KG_PERSON_CONTEXT_SQL = """
+WITH pnodes AS (
+  SELECT 'p_' || doc_id AS id,
+         CASE WHEN doc_id % 10 = 0 THEN 'Dana Stone'
+              WHEN doc_id % 10 = 1 THEN 'Frank Miller'
+              WHEN doc_id % 10 = 2 THEN 'Mia Park'
+              ELSE 'Node ' || doc_id END AS name
+  FROM documents WHERE doc_id < 30
+),
+projn AS (
+  SELECT 'proj_' || doc_id AS id, 'Project ' || doc_id AS name
+  FROM documents WHERE doc_id < 4
+),
+nodes AS (SELECT * FROM pnodes UNION ALL SELECT * FROM projn),
+edges AS (
+  SELECT 'p_' || doc_id AS src, 'proj_' || (doc_id % 4) AS dst,
+         CASE WHEN doc_id % 3 = 0 THEN 'WORKS_ON'
+              WHEN doc_id % 3 = 1 THEN 'REPORTS_TO'
+              ELSE 'MENTIONS' END AS predicate,
+         ROUND((0.5 + (doc_id % 5) * 0.1)::DOUBLE, 4) AS confidence
+  FROM documents WHERE doc_id < 30
+),
+-- the U7 heuristic evaluated by hand per question (scenario 2 -> no name)
+names(scenario, nm) AS (VALUES (0, 'Dana Stone'), (1, 'Frank'), (3, 'Mia Park')),
+ids AS (
+  SELECT s.scenario, n.id
+  FROM names s JOIN nodes n ON n.name LIKE '%' || s.nm || '%'
+),
+ctx AS (
+  SELECT i.scenario, e.src, e.predicate, e.dst, e.confidence
+  FROM ids i JOIN edges e ON e.src = i.id
+  WHERE e.predicate NOT IN ('MENTIONS', 'SENT', 'SENT_TO')
+)
+SELECT c.scenario::BIGINT AS scenario, c.src, ns.name AS src_name,
+       c.predicate, c.dst, nd.name AS dst_name, c.confidence
+FROM ctx c
+JOIN nodes ns ON ns.id = c.src
+JOIN nodes nd ON nd.id = c.dst
+"""
+
+QUERIES["kg_person_context"] = kg_person_context
+ORACLES["kg_person_context"] = KG_PERSON_CONTEXT_SQL
