@@ -6,11 +6,12 @@ All hashing is md5-based (portable across Spark/DuckDB/Python) and all
 shingling is token-trigram, computed JVM-side with higher-order functions —
 no Python in the hot path.
 
-Scale notes: the MinHash pipeline is explode(shingles) × k seeds →
-partial+final min aggregation (map-side combine collapses the seed fan-out),
-band signatures via sort_array(collect_list) within (doc, band), and the
-candidate join keys on (band, sig) — bounded buckets, AQE-skew-safe. Only
-candidate pairs pay the exact-Jaccard verification join.
+Scale notes: the MinHash pipeline computes all k per-doc minhashes as k
+min-aggregates of ONE partial/final groupBy(id) (map-side combine; no seed
+explosion, so shuffle volume is one row per doc, not k rows per shingle),
+derives band signatures by pure projection over the wide signature row, and
+the candidate join keys on (band, sig) — bounded buckets, AQE-skew-safe.
+Only candidate pairs pay the exact-Jaccard verification join.
 """
 
 from __future__ import annotations
@@ -43,22 +44,41 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """(id, seed, minhash): md5-string min per seed — a valid min-wise hash
-    family under lexicographic order, portable to any engine with md5."""
-    seeded = shingles.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    h = F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))
-    return seeded.groupBy("id", "seed").agg(F.min(h).alias("minhash"))
+    """(id, h0..h{k-1}): md5-string min per seed — a valid min-wise hash
+    family under lexicographic order, portable to any engine with md5.
+
+    All k mins are computed as k aggregates of ONE partial/final
+    ``groupBy(id)`` — no seed explosion: the previous long-format shape
+    (explode ×k → groupBy(id, seed)) shuffled k rows per (doc, shingle)
+    where this shuffles one partially-aggregated row per doc, a k× shuffle
+    volume reduction that compounds at corpus scale."""
+    mins = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*mins)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """Band the signature vector; candidates share any (band, band_sig)."""
-    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    sigs = banded.groupBy("id", "band").agg(
-        F.concat_ws("|", F.sort_array(F.collect_list(F.struct("seed", "minhash"))).getField("minhash")).alias("band_sig")
+    """Band the signature vector; candidates share any (band, band_sig).
+
+    Banding over the wide signature row is a pure projection (explode of a
+    literal-built array) — zero extra shuffle; only the candidate self-join
+    exchanges, keyed on (band, band_sig) so buckets stay bounded."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ])
+    sigs = signatures.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
     a = sigs.select(F.col("id").alias("a"), "band", "band_sig")
     b = sigs.select(F.col("id").alias("b"), "band", "band_sig")
