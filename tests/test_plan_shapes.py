@@ -108,3 +108,33 @@ def test_text_queries_stay_jvm_side(spark, qname):
 
     p = plan_str(QUERIES[qname](spark, SF_DIR))
     assert "Python" not in p, p
+
+
+def test_minhash_signatures_single_aggregation_no_seed_shuffle(spark):
+    """The r5 minhash fusion: all k per-doc minhashes must come from ONE
+    partial/final groupBy(id) — a plan that shuffles a (id, seed)- or
+    (id, band)-keyed relation has regressed to the k-times-shuffle-volume
+    long format, invisible at test scale and dominant at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_builder_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sh = token_shingles(docs, "doc_id", "text")
+    cand = lsh_candidate_pairs(minhash_signatures(sh, 16), 4, 4)
+    p = plan_str(cand)
+    # banding is projection-only: no exchange may partition by seed/band
+    exchanges = [ln for ln in p.splitlines() if "Arguments: hashpartitioning" in ln]
+    assert exchanges, p
+    for ln in exchanges:
+        assert "seed" not in ln, ln
+    # the candidate join partitions on (band, band_sig); the only id-keyed
+    # aggregation is the single signature groupBy — HashAggregate over id
+    # appears as partial+final once, with no (id, seed) grouping anywhere
+    assert "seed#" not in p, "seed column resurfaced — long format is back"
