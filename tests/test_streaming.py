@@ -54,3 +54,80 @@ def test_incremental_stream_matches_batch(spark, corpus, tmp_path):
     q3 = stream_mentions(spark, in_dir, out_dir, ck, registry)
     q3.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_stateful_session_stream_matches_batch_fold(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emit with the
+    batch gap semantics (> 1800 s starts a new session), sessions merge
+    ACROSS micro-batches, and open sessions flush via event-time timeout
+    once the watermark passes. Expected set computed by an independent
+    per-user fold."""
+    import pandas as pd
+
+    from ai_knowledge_graph_builder_spark.streaming.sessions import stream_sessions
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # user 1: [0, 10] | [41, 50]  (31-min gap splits; 10-min merges)
+    # user 2: [5] | [40, 45, 55]  (session spans the chunk boundary: 40/45
+    #          land in chunk 1, 55 in chunk 2 — state must merge them)
+    # user 3: [0, 30] (exactly 1800 s — must NOT split; batch rule is > 1800)
+    rows = [
+        (1, 1, t0), (2, 1, t0 + 10 * m), (3, 1, t0 + 41 * m), (4, 1, t0 + 50 * m),
+        (5, 2, t0 + 5 * m), (6, 2, t0 + 40 * m), (7, 2, t0 + 45 * m),
+        (8, 2, t0 + 55 * m),
+        (9, 3, t0), (10, 3, t0 + 30 * m),
+    ]
+    chunk1 = [r for r in rows if r[2] <= t0 + 45 * m]
+    chunk2 = [r for r in rows if r[2] > t0 + 45 * m]
+
+    def write_chunk(chunk, name):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in chunk],
+                "ts": [r[2] for r in chunk],
+                "user_id": [r[1] for r in chunk],
+                "event_type": "e",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark reads micros
+        pdf.to_parquet(tmp_path / "in" / name)
+
+    (tmp_path / "in").mkdir()
+    write_chunk(chunk1, "c1.parquet")
+    write_chunk(chunk2, "c2.parquet")
+
+    def drain():
+        q = stream_sessions(
+            spark,
+            str(tmp_path / "in"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            gap_s=1800,
+            watermark="10 minutes",
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # sentinel far in the future advances the watermark past every open
+    # session's gap horizon → timeouts flush the final sessions
+    write_chunk([(99, 999, t0 + pd.Timedelta(hours=12))], "sentinel.parquet")
+    expected = {
+        (1, 0, 600, 2), (1, 2460, 3000, 2),
+        (2, 300, 300, 1), (2, 2400, 3300, 3),
+        (3, 0, 1800, 2),
+    }
+    got: set[tuple] = set()
+    for _ in range(3):
+        drain()
+        out = spark.read.parquet(str(tmp_path / "out")).filter("user_id != 999")
+        base = int(t0.timestamp())
+        got = {
+            (r.user_id, r.session_start_s - base, r.session_end_s - base, r.n_events)
+            for r in out.collect()
+        }
+        if got == expected:
+            break
+    assert got == expected, got
