@@ -2394,3 +2394,109 @@ JOIN nodes nd ON nd.id = c.dst
 
 QUERIES["kg_person_context"] = kg_person_context
 ORACLES["kg_person_context"] = KG_PERSON_CONTEXT_SQL
+
+
+# ---------------------------------------------------------------------------
+# S10 + S11 + S12-resume: mentions / chunk-embedding sinks via run_stage
+# ---------------------------------------------------------------------------
+def kg_stage_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining sink families under driver-oracle coverage: write the
+    mentions relation (S10 — the value-checked kg_mention_edges rows) and
+    the chunk-embedding relation (S11 — the U2 chunking kernel + md5-BoW
+    vectors) through the REAL ``run_stage`` commit protocol
+    (plans/checkpoint.py: data → footer-lineage manifest → atomic marker),
+    then report each committed manifest's rollup (row count, key min/max
+    from parquet footer statistics) plus the resume bit: a SECOND
+    ``run_stage`` with the same fingerprint must skip the build entirely
+    (its builder raises if called). The oracle recomputes both rollups from
+    the raw tables — a lost row, a wrong manifest count, or a broken resume
+    flips the hash."""
+    import shutil
+    import tempfile
+
+    from .functions.embed import token_sum_vectors
+    from .plans.checkpoint import read_manifest, run_stage
+
+    def _poison():
+        raise AssertionError("resume failed: builder re-invoked")
+
+    def _rollup(stage_dir: str, stage: str, build) -> tuple:
+        _, first = run_stage(spark, stage_dir, stage, "fp0", build, key_col="key")
+        _, resumed = run_stage(spark, stage_dir, stage, "fp0", _poison, key_col="key")
+        man = read_manifest(stage_dir)
+        lin = man["lineage"]
+        keys = [r for r in lin if r["min_key"] is not None]
+        return (
+            stage,
+            int(man["row_count"]),
+            min(r["min_key"] for r in keys),
+            max(r["max_key"] for r in keys),
+            bool((not first) and resumed),
+        )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter((F.col("doc_id") < 80) & (F.length(F.trim(F.col("text"))) > 0))
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                chunks = chunk_text(text, chunk_size=40, overlap=10)
+                mat = token_sum_vectors([c.text for c in chunks], dim=64)
+                for c, v in zip(chunks, mat):
+                    # fixed-width key: footer min/max stats stay
+                    # lexicographic == numeric
+                    ids.append(f"chunk_{int(doc_id) * 10_000 + c.chunk_index:08d}")
+                    vecs.append([float(x) for x in v])
+            yield pd.DataFrame({"key": ids, "embedding": vecs})
+
+    chunk_emb = docs.select("doc_id", "text").mapInPandas(
+        _embed, "key string, embedding array<double>"
+    )
+    mentions = kg_mention_edges(spark, sf_dir).withColumn(
+        "key", F.col("entity_id")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="kg-stages-")
+    try:
+        rows = [
+            _rollup(f"{tmp}/mentions", "mentions", lambda: mentions),
+            _rollup(f"{tmp}/chunk_embeddings", "chunk_embeddings", lambda: chunk_emb),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "stage string, n_rows long, min_key string, max_key string, resumed boolean"
+    )
+
+
+KG_STAGE_MANIFESTS_SQL = f"""
+WITH aliases(word, eid) AS (VALUES {_flagship_alias_values()}),
+m AS (
+  SELECT a.eid FROM documents d JOIN aliases a
+    ON regexp_matches(d.text, '\\b' || a.word || '\\b')
+),
+wc AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents WHERE doc_id < 80 AND length(trim(text)) > 0
+),
+ck AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN n <= 40 THEN 1
+                        ELSE CAST(ceil((n - 40) / 30.0) AS BIGINT) + 1 END)) AS ci
+  FROM wc
+)
+SELECT 'mentions' AS stage, count(*)::BIGINT AS n_rows,
+       min(eid) AS min_key, max(eid) AS max_key, TRUE AS resumed
+FROM m
+UNION ALL
+SELECT 'chunk_embeddings', count(*)::BIGINT,
+       min(printf('chunk_%08d', doc_id * 10000 + ci)),
+       max(printf('chunk_%08d', doc_id * 10000 + ci)), TRUE
+FROM ck
+"""
+
+QUERIES["kg_stage_manifests"] = kg_stage_manifests
+ORACLES["kg_stage_manifests"] = KG_STAGE_MANIFESTS_SQL
