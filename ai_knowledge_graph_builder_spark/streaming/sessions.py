@@ -66,6 +66,28 @@ SESSION_STATE = T.StructType(
 )
 
 
+def fold_sessions(
+    secs: list[int],
+    open_s: tuple[int, int, int] | None,
+    gap_s: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Fold ascending event seconds into gap sessions: returns (closed
+    sessions, open session), each (start_s, last_s, n). Associative over
+    chronological chunk splits — folding chunk-by-chunk with the carried
+    open session equals one-shot sessionization (hypothesis-tested), which
+    is exactly the cross-micro-batch state invariant."""
+    closed: list[tuple[int, int, int]] = []
+    for s in secs:
+        if open_s is None:
+            open_s = (s, s, 1)
+        elif s - open_s[1] > gap_s:
+            closed.append(open_s)
+            open_s = (s, s, 1)
+        else:
+            open_s = (open_s[0], max(open_s[1], s), open_s[2] + 1)
+    return closed, open_s
+
+
 def _make_sessionizer(gap_s: int):
     def fn(
         key: tuple[Any, ...],
@@ -89,16 +111,8 @@ def _make_sessionizer(gap_s: int):
             batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
         ).tolist()
 
-        open_s = state.get if state.exists else None
-        closed: list[tuple[int, int, int]] = []
-        for s in secs:
-            if open_s is None:
-                open_s = (s, s, 1)
-            elif s - open_s[1] > gap_s:
-                closed.append(open_s)
-                open_s = (s, s, 1)
-            else:
-                open_s = (open_s[0], max(open_s[1], s), open_s[2] + 1)
+        open_s = tuple(state.get) if state.exists else None
+        closed, open_s = fold_sessions(secs, open_s, gap_s)
         state.update(open_s)
         # fire once the event-time watermark passes the gap horizon
         state.setTimeoutTimestamp((open_s[1] + gap_s) * 1000 + 1)

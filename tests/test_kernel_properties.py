@@ -62,3 +62,30 @@ def test_chunker_invariants(words, size, overlap):
         allwords = text.split()
         for c in chunks:
             assert c.text.split() == allwords[c.start_word : c.end_word]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    times=st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=5),
+    gap=st.integers(min_value=1, max_value=5_000),
+)
+def test_session_fold_chunking_invariant(times, cuts, gap):
+    """fold_sessions is associative over chronological chunk splits: folding
+    chunk-by-chunk with the carried open session (what applyInPandasWithState
+    does across micro-batches) must equal one-shot sessionization."""
+    from ai_knowledge_graph_builder_spark.streaming.sessions import fold_sessions
+
+    secs = sorted(times)
+    one_shot_closed, one_shot_open = fold_sessions(secs, None, gap)
+
+    bounds = sorted({min(c, len(secs)) for c in cuts} | {0, len(secs)})
+    closed, open_s = [], None
+    for lo, hi in zip(bounds, bounds[1:]):
+        c, open_s = fold_sessions(secs[lo:hi], open_s, gap)
+        closed.extend(c)
+    assert closed == one_shot_closed
+    assert open_s == one_shot_open
