@@ -121,3 +121,67 @@ def synth_media_df(spark, n: int = 60, seed: str = "kg") -> DataFrame:
              "payload": encode_payload(modality, a, b, c, seed)}
         )
     return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "item_id",
+    blob_col: str = "payload",
+) -> DataFrame:
+    """Image resize stage: binary → binary at the target dimensions, one
+    Arrow-batched pass, blob never shuffled. The fixture 'codec' re-encodes
+    the KGB1 header with the target dims and derives the body
+    deterministically from (source body, target dims); the production
+    decoder (PIL ``Image.resize`` / cv2) plugs into ``_resize_bytes``.
+    Non-image rows are dropped (the stage is modality-typed upstream)."""
+    src = media.select(F.col(id_col).alias("item_id"), F.col(blob_col).alias("payload"))
+
+    def _resize_bytes(blob: bytes) -> bytes | None:
+        modality, _a, _b, channels = _parse_header(blob)
+        if modality != "image":
+            return None
+        body = hashlib.sha256(blob[17:] + struct.pack(">II", width, height)).digest() * 4
+        return MAGIC + struct.pack(">BIII", 0, width, height, channels) + body
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for item_id, blob in zip(pdf["item_id"], pdf["payload"]):
+                out = _resize_bytes(bytes(blob))
+                if out is not None:
+                    ids.append(item_id)
+                    blobs.append(out)
+            yield pd.DataFrame({"item_id": ids, "payload": blobs})
+
+    return src.mapInPandas(_resize, "item_id string, payload binary")
+
+
+def extract_media_features(
+    media: DataFrame,
+    dim: int = 64,
+    id_col: str = "item_id",
+    blob_col: str = "payload",
+) -> DataFrame:
+    """Feature-extraction stage: binary → fixed-dim float vector (the
+    embedding-model seam — CLIP/wav2vec/VideoMAE plug in here). The fixture
+    features are the pinned ±1 md5 direction of the blob's content digest
+    (functions/embed kernel), so downstream similarity/dedup operators
+    consume the column exactly as they would a real encoder's output."""
+    from ..functions.embed import _token_vector
+
+    src = media.select(F.col(id_col).alias("item_id"), F.col(blob_col).alias("payload"))
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for item_id, blob in zip(pdf["item_id"], pdf["payload"]):
+                blob = bytes(blob)
+                _parse_header(blob)  # codec seam: foreign blobs raise here
+                digest = hashlib.md5(blob).hexdigest()
+                ids.append(item_id)
+                vecs.append([float(x) for x in _token_vector(digest, dim)])
+            yield pd.DataFrame({"item_id": ids, "embedding": vecs})
+
+    return src.mapInPandas(_feat, "item_id string, embedding array<double>")

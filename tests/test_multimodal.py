@@ -55,3 +55,31 @@ def test_payload_deterministic():
     c = encode_payload("image", 64, 48, 3, "t")
     assert a == b and a != c and a[:4] == b"KGB1"
     assert set(MODALITIES) == {"image", "audio", "video"}
+
+
+def test_resize_images_rewrites_dims_and_drops_non_images(spark):
+    from ai_knowledge_graph_builder_spark.operators.multimodal import (
+        extract_media_features,
+        resize_images,
+    )
+
+    media = synth_media_df(spark, n=30)
+    resized = resize_images(media, 32, 24)
+    meta = {r["item_id"]: r for r in extract_media_metadata(resized).collect()}
+    truth = {r["item_id"]: r["modality_true"] for r in media.collect()}
+    # only images survive; every survivor carries the target dims
+    assert meta and all(truth[k] == "image" for k in meta)
+    assert len(meta) == sum(1 for m in truth.values() if m == "image")
+    assert all(r["modality"] == "image" and r["dim_a"] == 32 and r["dim_b"] == 24
+               for r in meta.values())
+    # deterministic: resizing twice yields byte-identical blobs
+    d1 = {r["item_id"]: r["content_digest"] for r in meta.values()}
+    d2 = {r["item_id"]: r["content_digest"]
+          for r in extract_media_metadata(resize_images(media, 32, 24)).collect()}
+    assert d1 == d2
+    # feature extraction consumes the resized column directly: fixed dim,
+    # deterministic, ±1-valued (the pinned encoder contract)
+    feats = extract_media_features(resized, dim=16).collect()
+    assert len(feats) == len(meta)
+    assert all(len(r["embedding"]) == 16 for r in feats)
+    assert all(set(map(abs, r["embedding"])) == {1.0} for r in feats)
