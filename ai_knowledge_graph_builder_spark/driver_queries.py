@@ -1089,29 +1089,44 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality scoring: length, mean word length, stopword ratio,
-    distinct-token ratio → composite score (training-data quality op)."""
+    distinct-token ratio → composite score (training-data quality op).
+
+    Every 4dp column is rounded EXACTLY in integer arithmetic — HALF_UP of
+    the rational p/q to 4 decimals is round(1e4·p/q) = (20000p + q) div
+    (2q), bit-identical in any engine. Engine float ``ROUND`` diverges
+    exactly when the true value lands on a .xxxx5 tie, which real corpora
+    DO hit: 7 docs at sf0.1, e.g. quality = 71790/120000 = 0.598250 →
+    Spark BigDecimal HALF_UP said 0.5983 while DuckDB's double-arithmetic
+    round said 0.5982."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = F.split(F.trim("text"), r"\s+")
-    n = F.size(words).cast("double")
+    n = F.size(words).cast("long")
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
-    n_distinct = F.size(F.array_distinct(words)).cast("double")
-    mean_len = (F.length(F.regexp_replace(F.trim("text"), r"\s+", "")) / n)
-    score = (
-        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (1.0 - n_stop / n) * 0.3
-        + (n_distinct / n) * 0.3
-    )
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    n_chars = F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast("long")
+
+    def r4c(p, q):
+        num = F.lit(20000) * p + q
+        den = F.lit(2) * q
+        return ((num - num % den) / den).cast("long") / F.lit(10000.0)
+
+    # composite numerator over denominator 2500·n (exact rational form):
+    # 0.4·min(n,100)/100 + 0.3·(n−ns)/n + 0.3·nd/n = N / (2500·n)
+    n_cap = F.least(n, F.lit(100))
+    num_q = F.lit(10) * n * n_cap + F.lit(750) * (n - n_stop) + F.lit(750) * n_distinct
     return docs.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
-        n.cast("long").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(n_stop / n, 4).alias("stopword_ratio"),
-        F.round(n_distinct / n, 4).alias("distinct_ratio"),
-        F.round(score, 4).alias("quality"),
+        n.alias("n_words"),
+        r4c(n_chars, n).alias("mean_word_len"),
+        r4c(n_stop, n).alias("stopword_ratio"),
+        r4c(n_distinct, n).alias("distinct_ratio"),
+        r4c(num_q, F.lit(2500) * n).alias("quality"),
     )
 
 
+# 4dp columns use the same exact integer HALF_UP as the Spark side:
+# round4(p/q) = (20000·p + q) // (2·q) / 1e4 — see quality_score docstring.
 QUALITY_SCORE_SQL = f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w, trim(text) AS tt
@@ -1119,20 +1134,23 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id,
-         len(w)::DOUBLE AS n,
-         len(list_filter(w, x -> x IN {_STOPWORDS}))::DOUBLE AS n_stop,
-         len(list_distinct(w))::DOUBLE AS n_distinct,
-         length(regexp_replace(tt, '\\s+', '', 'g'))::DOUBLE AS n_chars_nospace
+         len(w)::BIGINT AS n,
+         len(list_filter(w, x -> x IN {_STOPWORDS}))::BIGINT AS n_stop,
+         len(list_distinct(w))::BIGINT AS n_distinct,
+         length(regexp_replace(tt, '\\s+', '', 'g'))::BIGINT AS n_chars_nospace
   FROM t
+),
+q AS (
+  SELECT *, (10 * n * LEAST(n, 100) + 750 * (n - n_stop) + 750 * n_distinct)::BIGINT AS num_q
+  FROM m
 )
 SELECT doc_id,
-       n::BIGINT AS n_words,
-       ROUND(n_chars_nospace / n, 4) AS mean_word_len,
-       ROUND(n_stop / n, 4) AS stopword_ratio,
-       ROUND(n_distinct / n, 4) AS distinct_ratio,
-       ROUND(LEAST(n / 100.0, 1.0) * 0.4 + (1.0 - n_stop / n) * 0.3
-             + (n_distinct / n) * 0.3, 4) AS quality
-FROM m
+       n AS n_words,
+       (((20000 * n_chars_nospace + n) // (2 * n))::DOUBLE / 10000.0) AS mean_word_len,
+       (((20000 * n_stop + n) // (2 * n))::DOUBLE / 10000.0) AS stopword_ratio,
+       (((20000 * n_distinct + n) // (2 * n))::DOUBLE / 10000.0) AS distinct_ratio,
+       (((20000 * num_q + 2500 * n) // (5000 * n))::DOUBLE / 10000.0) AS quality
+FROM q
 """
 
 
@@ -1618,10 +1636,13 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     pairs = minhash_dedup_pairs(both, "doc_id", "text", tau=0.5, num_hashes=16, bands=4)
+    # tie-consistent 4dp: floor(x·1e4 + 0.5) is the same IEEE arithmetic in
+    # both engines even when the integer-ratio jaccard lands on a .xxxx5
+    # tie (engine ROUND implementations disagree there — see quality_score)
     return pairs.select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
-        F.round("jaccard", 4).alias("jaccard"),
+        (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000.0).alias("jaccard"),
     )
 
 
@@ -1670,7 +1691,7 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT c.a, c.b,
-       ROUND(common / (na.n + nb.n - common), 4) AS jaccard
+       floor((common / (na.n + nb.n - common)) * 10000 + 0.5) / 10000.0 AS jaccard
 FROM common c
 JOIN sizes na ON na.id = c.a
 JOIN sizes nb ON nb.id = c.b
@@ -1705,8 +1726,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.max("n_events").alias("max_session_events"),
-            F.round(F.avg("duration_s"), 4).alias("avg_session_duration_s"),
+            # exact 4dp of the integer ratio sum/count (see quality_score)
+            F.sum("duration_s").alias("_sum_d"),
         )
+        .withColumn(
+            "avg_session_duration_s",
+            ((F.lit(20000) * F.col("_sum_d") + F.col("n_sessions"))
+             - (F.lit(20000) * F.col("_sum_d") + F.col("n_sessions"))
+             % (F.lit(2) * F.col("n_sessions")))
+            / (F.lit(2) * F.col("n_sessions")) / F.lit(10000.0),
+        )
+        .drop("_sum_d")
     )
 
 
@@ -1730,7 +1760,8 @@ per AS (
   FROM s GROUP BY 1, 2
 )
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-       ROUND(AVG(duration_s), 4) AS avg_session_duration_s
+       (((20000 * SUM(duration_s) + COUNT(*)) // (2 * COUNT(*)))::DOUBLE / 10000.0)
+         AS avg_session_duration_s
 FROM per GROUP BY 1
 """
 

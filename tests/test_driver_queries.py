@@ -1,17 +1,19 @@
 """Every driver query matches its DuckDB oracle at sf0.001 (row-count,
 column names, and order-insensitive value set) — a local mirror of the
-driver's CORRECTNESS gate."""
+driver's CORRECTNESS gate. ``SPARK_GRAFT_TEST_SF_DIR`` overrides the scale
+dir (the scale-stability pass runs the same 43 comparisons at sf0.1)."""
 
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 
 from ai_knowledge_graph_builder_spark.driver_queries import ORACLES, QUERIES
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
