@@ -343,7 +343,7 @@ def generate_corpus(
     pages = pd.DataFrame(pages_rows).sort_values("url").reset_index(drop=True)
     doc_meta = pd.DataFrame(meta_rows)
     registry_df = _registry_df(reg)
-    return {
+    out = {
         "pages": pages,
         "registry": registry_df,
         "doc_meta": doc_meta,
@@ -354,6 +354,8 @@ def generate_corpus(
         "policies": pd.DataFrame(reg["policies"]),
         "assignments": pd.DataFrame(reg["assignments"]),
     }
+    validate_corpus(out)  # gen_data_str.py:579-661 analog — fail at build time
+    return out
 
 
 def _alpha(n: int) -> str:
@@ -518,3 +520,69 @@ def resolve_alias_collisions(aliases: pd.DataFrame) -> pd.DataFrame:
         }
     )
     return out.sort_values("insertion_idx").reset_index(drop=True)
+
+
+def validate_corpus(corpus: dict[str, pd.DataFrame]) -> dict[str, int]:
+    """Generation-time integrity checks (gen_data_str.py:579-661 analog):
+    duplicate-ID detection across every catalog, manager/owner/assignment
+    referential integrity, the unique-first-name invariant (first-name
+    alias resolution relies on it), and registry↔catalog count equality.
+    Raises ``AssertionError`` listing every violation; returns the count
+    summary on success. Runs automatically at the end of
+    ``generate_corpus`` so a broken generator change fails loudly at
+    fixture-build time, not as a mysterious linking diff downstream."""
+    errors: list[str] = []
+
+    def _dupes(values) -> list:
+        seen, out = set(), []
+        for v in values:
+            if v in seen:
+                out.append(v)
+            seen.add(v)
+        return out
+
+    emp = corpus["employees"]
+    catalogs = {
+        "employees": emp["id"],
+        "projects": corpus["projects"]["id"],
+        "products": corpus["products"]["id"],
+        "policies": corpus["policies"]["id"],
+        "registry": corpus["registry"]["entity_id"],
+        "pages": corpus["pages"]["url"],
+        "assignments": corpus["assignments"]["assignment_id"],
+    }
+    for name, col in catalogs.items():
+        d = _dupes(col)
+        if d:
+            errors.append(f"duplicate ids in {name}: {sorted(set(d))[:5]}")
+
+    emp_ids = set(emp["id"])
+    for m in emp["manager_id"]:
+        if m is not None and not (isinstance(m, float) and pd.isna(m)) and m not in emp_ids:
+            errors.append(f"dangling manager_id {m}")
+    for o in corpus["policies"]["owner_id"]:
+        if o not in emp_ids:
+            errors.append(f"dangling policy owner_id {o}")
+    proj_ids = set(corpus["projects"]["id"])
+    for _, a in corpus["assignments"].iterrows():
+        if a["employee_id"] not in emp_ids:
+            errors.append(f"dangling assignment employee {a['assignment_id']}")
+        if a["project_id"] not in proj_ids:
+            errors.append(f"dangling assignment project {a['assignment_id']}")
+
+    d = _dupes(emp["first_name"])
+    if d:
+        errors.append(f"first names not unique: {sorted(set(d))[:5]}")
+
+    reg = corpus["registry"]
+    reg_counts = reg.groupby("entity_type")["entity_id"].count().to_dict()
+    for etype, df_key in (("employee", "employees"), ("project", "projects"),
+                          ("product", "products"), ("policy", "policies")):
+        if reg_counts.get(etype, 0) != len(corpus[df_key]):
+            errors.append(
+                f"registry↔catalog count mismatch for {etype}: "
+                f"{reg_counts.get(etype, 0)} vs {len(corpus[df_key])}"
+            )
+
+    assert not errors, "corpus integrity violations:\n  " + "\n  ".join(errors)
+    return {name: len(col) for name, col in catalogs.items()}

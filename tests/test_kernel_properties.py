@@ -89,3 +89,38 @@ def test_session_fold_chunking_invariant(times, cuts, gap):
         closed.extend(c)
     assert closed == one_shot_closed
     assert open_s == one_shot_open
+
+
+def test_corpus_integrity_checks_catch_planted_faults():
+    """validate_corpus (gen_data_str.py:579-661 analog) passes on the real
+    generator and flags each fault class when planted."""
+    import pytest
+
+    from ai_knowledge_graph_builder_spark.sources.corpus import (
+        generate_corpus,
+        validate_corpus,
+    )
+
+    c = generate_corpus(seed=42, waves=1, n_emails=5, n_external=2)
+    counts = validate_corpus(c)
+    assert counts["employees"] == 30 and counts["pages"] == len(c["pages"])
+
+    dup = {k: v.copy() for k, v in c.items()}
+    dup["employees"].loc[1, "id"] = dup["employees"].loc[0, "id"]
+    with pytest.raises(AssertionError, match="duplicate ids in employees"):
+        validate_corpus(dup)
+
+    dangling = {k: v.copy() for k, v in c.items()}
+    dangling["employees"].loc[2, "manager_id"] = "emp_999"
+    with pytest.raises(AssertionError, match="dangling manager_id"):
+        validate_corpus(dangling)
+
+    notuniq = {k: v.copy() for k, v in c.items()}
+    notuniq["employees"].loc[3, "first_name"] = notuniq["employees"].loc[4, "first_name"]
+    with pytest.raises(AssertionError, match="first names not unique"):
+        validate_corpus(notuniq)
+
+    drift = {k: v.copy() for k, v in c.items()}
+    drift["products"] = drift["products"].iloc[:-1]
+    with pytest.raises(AssertionError, match="count mismatch for product"):
+        validate_corpus(drift)
