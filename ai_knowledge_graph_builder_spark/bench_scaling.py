@@ -613,6 +613,11 @@ def summarize_paired_cycles(cycles: list[dict], max_steal: float | None = None) 
     import statistics
 
     valid = [c for c in cycles if "invalid" not in c and "efficiency" in c]
+    # physical plausibility: N->4N marginal efficiency outside (0, 2] is a
+    # degenerate regression slope (near-zero or inverted denominator), not a
+    # measurement — dropped EXPLICITLY, never silently
+    n_implausible = sum(1 for c in valid if not 0.0 < c["efficiency"] <= 2.0)
+    valid = [c for c in valid if 0.0 < c["efficiency"] <= 2.0]
     if max_steal is not None:
         def _clean(c):
             return all(s <= max_steal
@@ -621,7 +626,8 @@ def summarize_paired_cycles(cycles: list[dict], max_steal: float | None = None) 
         n_dirty = sum(1 for c in valid if not _clean(c))
         valid = [c for c in valid if _clean(c)]
     out: dict = {"metric": "scaling_efficiency_N_to_4N", "unit": "ratio",
-                 "n_cycles": len(cycles), "n_valid": len(valid)}
+                 "n_cycles": len(cycles), "n_valid": len(valid),
+                 "n_dropped_implausible": n_implausible}
     if max_steal is not None:
         out["max_steal_filter"] = max_steal
         out["n_dropped_dirty"] = n_dirty
@@ -871,14 +877,17 @@ if __name__ == "__main__":
             if _a.startswith("--max-steal="):
                 _ms = float(_a.split("=", 1)[1])
                 _out[f"paired_max_steal_{_ms}"] = summarize_paired_cycles(_paired, max_steal=_ms)
-        _jv = [c["value"] for c in _jvms if "value" in c]
-        _out["jvms"] = {"n_runs": len(_jvms), "n_valid": len(_jv)}
+        _all_jv = [c["value"] for c in _jvms if "value" in c]
+        _jv = [v for v in _all_jv if 0.0 < v <= 2.0]
+        _out["jvms"] = {"n_runs": len(_jvms), "n_valid": len(_jv),
+                        "n_dropped_implausible": len(_all_jv) - len(_jv)}
         if _jv:
             _out["jvms"]["median"] = round(_stats.median(_jv), 3)
             _out["jvms"]["values"] = sorted(round(v, 3) for v in _jv)
         for _job in ("fused", "r1"):
             _v = [c["value"] for c in _jvms
-                  if "value" in c and c.get("job", "fused") == _job]
+                  if "value" in c and 0.0 < c["value"] <= 2.0
+                  and c.get("job", "fused") == _job]
             if _v:
                 _out["jvms"][f"{_job}_median"] = round(_stats.median(_v), 3)
                 _out["jvms"][f"{_job}_values"] = sorted(round(x, 3) for x in _v)
