@@ -142,14 +142,14 @@ def run_bench() -> dict:
         if len(flag) >= 2 and flag[1] - flag[0] <= AGREE_FRAC * flag[0]:
             break
 
-    timings = {
-        name: round(min(wd["timings"][name] for wd in windows), 3)
-        for name in HEADLINE
-    }
-    steals = {
-        name: round(min(wd["steals"][name] for wd in windows), 4)
-        for name in HEADLINE
-    }
+    timings, steals = {}, {}
+    for name in HEADLINE:
+        best = min(windows, key=lambda wd: wd["timings"][name])
+        timings[name] = round(best["timings"][name], 3)
+        # the steal of the WINDOW THAT WON, not the min steal — pairing the
+        # fastest time with some other window's cleaner steal would overstate
+        # how clean the published number is
+        steals[name] = round(best["steals"][name], 4)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     kg_sec = timings["kg_inferred_triples"]
