@@ -2531,3 +2531,101 @@ FROM ck
 
 QUERIES["kg_stage_manifests"] = kg_stage_manifests
 ORACLES["kg_stage_manifests"] = KG_STAGE_MANIFESTS_SQL
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (the 10^12-scale similarity-search path) under driver-oracle cover
+# ---------------------------------------------------------------------------
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN through the REAL ivf_topk_join operator with a fixed
+    md5-derived ±1 codebook (the pre-trained-quantizer mode FAISS IVFFlat
+    supports; embedding_generator.py:319-327 is the exact-search analog the
+    reference runs at 59 docs). 8 cells, 2 probes, exact cosine top-5 inside
+    the probed cells. The codebook is the same _token_vector kernel the
+    chunk-retrieval and LSH oracles already recompute bit-for-bit in DuckDB,
+    so the ENTIRE index — assignment argmax, probe ranking, in-cell scoring,
+    rank — is value-checked, not just the final score."""
+    from .functions.embed import _token_vector
+    from .operators.similarity import ivf_topk_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    items = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("item_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [[float(x) for x in _token_vector(f"ivf-cent:{c}", 64)] for c in range(8)]
+    topk = ivf_topk_join(items, queries, k=5, n_probe=2, centroids=cents)
+    return topk.select(
+        "query_id",
+        "item_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# The codebook CTE reuses the proven md5 hyperplane extraction (plane p,
+# dim d = bit d of md5('0' || NUL || 'ivf-cent:<p>'), MSB-first per byte,
+# mapped to ±1 — functions/embed._token_vector). Assignment = cosine argmax
+# (row_number, ties to the lower cell id) exactly as the fixed-centroid
+# branch of ivf_topk_join; probing = top-2 cells per query the same way.
+ANN_IVF_SQL = """
+WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+cents AS (
+  SELECT c.c, d.dim,
+         (2 * (((strpos('0123456789abcdef',
+                  substr(md5('0' || chr(0) || 'ivf-cent:' || c.c),
+                         (d.dim // 8) * 2 + CASE WHEN d.dim % 8 < 4 THEN 1 ELSE 2 END, 1)) - 1)
+                // (CASE d.dim % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)::DOUBLE AS v
+  FROM (SELECT unnest(range(0, 8)) AS c) c, dims d
+),
+e AS (
+  SELECT vec_id, d.dim, embedding[d.dim + 1]::DOUBLE AS v
+  FROM embeddings, dims d
+),
+icell AS (
+  SELECT e.vec_id, c.c,
+         SUM(e.v * c.v) / (sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.v * c.v))) AS cs
+  FROM e JOIN cents c ON e.dim = c.dim
+  WHERE e.vec_id >= 10
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id AS item_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c ASC) AS r
+    FROM icell) WHERE r = 1
+),
+qcell AS (
+  SELECT e.vec_id, c.c,
+         SUM(e.v * c.v) / (sqrt(SUM(e.v * e.v)) * sqrt(SUM(c.v * c.v))) AS cs
+  FROM e JOIN cents c ON e.dim = c.dim
+  WHERE e.vec_id < 5
+  GROUP BY 1, 2
+),
+probed AS (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c ASC) AS r
+    FROM qcell) WHERE r <= 2
+),
+scored AS (
+  SELECT p.query_id, a.item_id,
+         SUM(eq.v * ei.v) / (sqrt(SUM(eq.v * eq.v)) * sqrt(SUM(ei.v * ei.v))) AS score
+  FROM probed p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN e eq ON eq.vec_id = p.query_id
+  JOIN e ei ON ei.vec_id = a.item_id AND ei.dim = eq.dim
+  GROUP BY 1, 2
+)
+SELECT query_id, item_id, ROUND(score, 4) AS score, rank
+FROM (
+  SELECT query_id, item_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, item_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+QUERIES["ann_ivf"] = ann_ivf
+ORACLES["ann_ivf"] = ANN_IVF_SQL

@@ -160,28 +160,54 @@ def ivf_topk_join(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: a seeded KMeans coarse quantizer assigns every item to
-    a cell; each query probes only its ``n_probe`` nearest cells and runs the
-    exact cosine top-k inside them. The cluster-pruned analog of a FAISS
-    IVFFlat index (the reference uses exact IndexFlatIP at 59 docs;
+    """IVF-style ANN: a coarse quantizer assigns every item to a cell; each
+    query probes only its ``n_probe`` nearest cells and runs the exact cosine
+    top-k inside them. The cluster-pruned analog of a FAISS IVFFlat index
+    (the reference uses exact IndexFlatIP at 59 docs;
     embedding_generator.py:319-327 — this is the 10^12-scale path).
+
+    The quantizer is a seeded KMeans by default; pass ``centroids`` to use a
+    fixed pre-trained codebook instead (FAISS supports exactly this split —
+    train once offline, assign at scale). With equal-norm centroids the
+    cosine argmax used here equals the Euclidean argmin KMeans would assign.
 
     Recall < 1 by construction (tunable via n_probe); scoring is exact within
     probed cells. The centroid table is broadcast-sized (n_cells rows)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    it = items.select(F.col(item_id), F.col(vec_col)).withColumn(
-        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(it)
-    assigned = model.transform(it).select(item_id, vec_col, "cell")
-
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = items.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    if centroids is not None:
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        )
+        it = items.select(F.col(item_id), F.col(vec_col))
+        ic = it.crossJoin(F.broadcast(cent_df)).select(
+            item_id, vec_col, "cell",
+            _cosine_pairs_udf(vec_col, "centroid").alias("cell_score"),
+        )
+        from pyspark.sql import Window as _W
+
+        wi = _W.partitionBy(item_id).orderBy(F.desc("cell_score"), F.asc("cell"))
+        assigned = (
+            ic.withColumn("arank", F.row_number().over(wi))
+            .filter(F.col("arank") == 1)
+            .select(item_id, vec_col, "cell")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        it = items.select(F.col(item_id), F.col(vec_col)).withColumn(
+            "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+        model = km.fit(it)
+        assigned = model.transform(it).select(item_id, vec_col, "cell")
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            ["cell", "centroid"],
+        )
 
     q = queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
     # rank cells per query by centroid cosine; keep n_probe
