@@ -2629,3 +2629,235 @@ WHERE rank <= 5
 
 QUERIES["ann_ivf"] = ann_ivf
 ORACLES["ann_ivf"] = ANN_IVF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (the lossless counterpart of minhash_pairs)
+# ---------------------------------------------------------------------------
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs over docs (doc_id < 100) unioned
+    with planted mutations (first word dropped, id + 100000): shingle →
+    inverted-index equi-join (recall 1.0 — no banding) → exact-Jaccard
+    verify >= 0.4. Bigrams + the lower threshold distinguish this row from
+    minhash_pairs (trigrams, LSH candidates, 0.5); together they value-check
+    both candidate-generation regimes over the same jaccard_verify kernel."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), F.trim("text").alias("text"))
+    )
+    words = F.split(F.col("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 2, 1000000)).alias("text"),
+    )
+    both = docs.unionAll(mutated).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = ngram_jaccard_pairs(both, "doc_id", "text", tau=0.4, n=2)
+    return pairs.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000.0).alias("jaccard"),
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH base AS (
+  SELECT doc_id::BIGINT AS id, trim(text) AS t
+  FROM documents WHERE doc_id < 100
+),
+mut AS (
+  SELECT id + 100000 AS id,
+         array_to_string(list_slice(string_split_regex(t, '\\s+'), 2,
+                         len(string_split_regex(t, '\\s+'))), ' ') AS t
+  FROM base
+),
+allc AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+w AS (SELECT id, string_split_regex(t, '\\s+') AS w FROM allc),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1])
+                ELSE [array_to_string(w, ' ')] END) AS shingle
+  FROM w
+),
+cand AS (
+  SELECT DISTINCT sa.id AS a, sb.id AS b
+  FROM sh sa JOIN sh sb
+    ON sa.shingle = sb.shingle AND sa.id::VARCHAR < sb.id::VARCHAR
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.a, c.b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.id = c.a
+  JOIN sh sb ON sb.id = c.b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       floor((common / (na.n + nb.n - common)) * 10000 + 0.5) / 10000.0 AS jaccard
+FROM common c
+JOIN sizes na ON na.id = c.a
+JOIN sizes nb ON nb.id = c.b
+WHERE common / (na.n + nb.n - common) >= 0.4
+"""
+
+QUERIES["ngram_jaccard"] = ngram_jaccard
+ORACLES["ngram_jaccard"] = NGRAM_JACCARD_SQL
+
+
+# ---------------------------------------------------------------------------
+# S1: structured CSV scan → confidence-1.0 ground-truth edges
+# ---------------------------------------------------------------------------
+def kg_ground_truth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 under driver-oracle coverage: the REAL ground_truth_edges operator
+    (neo4j_loader.py:151-213 — REPORTS_TO from employees.manager_id, WORKS_ON
+    from assignments with a role prop, OWNS from policies.owner_id) over
+    structured tables derived arithmetically from the star schema so DuckDB
+    recomputes every edge: employees from customer (every 7th has no
+    manager — the null filter must drop it), assignments from orders (role =
+    o_orderpriority, carried through the props map), policies from nation
+    (every 5th unowned). props is emitted as canonical JSON so the map
+    column itself is value-checked."""
+    from .operators.graph import ground_truth_edges
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") < 300)
+    employees = cust.select(
+        F.format_string("emp_%03d", F.col("c_custkey").cast("int")).alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.format_string("emp_%03d", (F.col("c_custkey") % 50).cast("int"))
+        ).alias("manager_id"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 1200)
+    assignments = orders.select(
+        F.format_string("emp_%03d", (F.col("o_custkey") % 300).cast("int")).alias("employee_id"),
+        F.format_string("proj_%02d", (F.col("o_orderkey") % 20).cast("int")).alias("project_id"),
+        F.col("o_orderpriority").alias("role"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    policies = nat.select(
+        F.format_string("pol_%02d", F.col("n_nationkey").cast("int")).alias("id"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.format_string("emp_%03d", F.col("n_nationkey").cast("int"))
+        ).alias("owner_id"),
+    )
+    edges = ground_truth_edges(employees, assignments, policies)
+    return edges.select(
+        "src", "predicate", "dst",
+        F.round("confidence", 4).alias("confidence"),
+        "source", "flagged", "inferred",
+        F.to_json("props").alias("props_json"),
+    )
+
+
+KG_GROUND_TRUTH_EDGES_SQL = """
+WITH emp AS (
+  SELECT printf('emp_%03d', c_custkey::INT) AS id,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE printf('emp_%03d', (c_custkey % 50)::INT) END AS manager_id
+  FROM customer WHERE c_custkey < 300
+),
+asn AS (
+  SELECT printf('emp_%03d', (o_custkey % 300)::INT) AS employee_id,
+         printf('proj_%02d', (o_orderkey % 20)::INT) AS project_id,
+         o_orderpriority AS role
+  FROM orders WHERE o_orderkey < 1200
+),
+pol AS (
+  SELECT printf('pol_%02d', n_nationkey::INT) AS id,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL
+              ELSE printf('emp_%03d', n_nationkey::INT) END AS owner_id
+  FROM nation
+)
+SELECT id AS src, 'REPORTS_TO' AS predicate, manager_id AS dst,
+       1.0::DOUBLE AS confidence, 'employees.csv' AS source,
+       false AS flagged, false AS inferred, '{}' AS props_json
+FROM emp WHERE manager_id IS NOT NULL
+UNION ALL
+SELECT employee_id, 'WORKS_ON', project_id, 1.0::DOUBLE,
+       'project_assignments.csv', false, false,
+       '{"role":"' || role || '"}'
+FROM asn
+UNION ALL
+SELECT owner_id, 'OWNS', id, 1.0::DOUBLE, 'policies.csv', false, false, '{}'
+FROM pol WHERE owner_id IS NOT NULL
+"""
+
+QUERIES["kg_ground_truth_edges"] = kg_ground_truth_edges
+ORACLES["kg_ground_truth_edges"] = KG_GROUND_TRUTH_EDGES_SQL
+
+
+# ---------------------------------------------------------------------------
+# D4: shadow entities with content-derived ids
+# ---------------------------------------------------------------------------
+def kg_shadow_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 under driver-oracle coverage: the REAL shadow_entities operator
+    (neo4j_loader.py:392-414 — one ShadowEntity per unique contradiction
+    name, first-seen source wins) over arithmetic doc_meta: docs % 6 == 1
+    plant product_mention 'Tool <doc_id%5>' (5 names across many docs — the
+    min-url first-wins is load-bearing), docs % 12 == 7 plant
+    policy_reference with NULL document_value so the name falls back to the
+    entity field (the coalesce branch). The shadow_%05d id is the md5-prefix
+    hash (functions/hashing.py stable_hash64 % 1e5), recomputed in DuckDB
+    via ('0x' || substr(md5(name),1,16))::UBIGINT — bit-identical to
+    F.conv(hex,16,10), so the content-derived id scheme itself is checked."""
+    from .operators.graph import shadow_entities
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    pm = F.struct(
+        F.lit("product_mention").alias("type"),
+        F.lit("").alias("entity"),
+        F.format_string("Tool %d", (did % 5).cast("int")).alias("document_value"),
+        F.lit("x").alias("explanation"),
+    )
+    pr = F.struct(
+        F.lit("policy_reference").alias("type"),
+        F.format_string("pol ref %d", (did % 3).cast("int")).alias("entity"),
+        F.lit(None).cast("string").alias("document_value"),
+        F.lit("x").alias("explanation"),
+    )
+    meta = (
+        docs.filter((did % 6 == 1) | (did % 12 == 7))
+        .select(
+            F.format_string("doc://%08d", did).alias("url"),
+            F.when(did % 12 == 7, F.array(pm, pr)).otherwise(F.array(pm)).alias("contradictions"),
+        )
+    )
+    shadows = shadow_entities(meta)
+    return shadows.select(
+        "id", "name", "node_type",
+        F.round("confidence", 4).alias("confidence"),
+        "source",
+    )
+
+
+KG_SHADOW_ENTITIES_SQL = """
+WITH meta AS (
+  SELECT doc_id, printf('doc://%08d', doc_id) AS url
+  FROM documents WHERE doc_id % 6 = 1 OR doc_id % 12 = 7
+),
+named AS (
+  SELECT printf('Tool %d', (doc_id % 5)::INT) AS name, 'Product' AS stype, url
+  FROM meta
+  UNION ALL
+  SELECT printf('pol ref %d', (doc_id % 3)::INT), 'Policy', url
+  FROM meta WHERE doc_id % 12 = 7
+),
+firsts AS (
+  SELECT name, MIN(url) AS first_url, MIN(stype) AS stype
+  FROM named GROUP BY name
+)
+SELECT printf('shadow_%05d',
+              ((('0x' || substr(md5(name), 1, 16))::UBIGINT) % 100000)::BIGINT) AS id,
+       name, 'ShadowEntity' AS node_type, 0.3::DOUBLE AS confidence,
+       first_url AS source
+FROM firsts
+"""
+
+QUERIES["kg_shadow_entities"] = kg_shadow_entities
+ORACLES["kg_shadow_entities"] = KG_SHADOW_ENTITIES_SQL

@@ -43,6 +43,28 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, tau: float, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shared-shingle inverted
+    index: any pair with jaccard > 0 shares at least one shingle, so the
+    equi-join on shingle is a lossless candidate generator (recall 1.0) and
+    every candidate is verified exactly — the exact counterpart of
+    ``minhash_dedup_pairs``. Candidate volume is Σ_s df(s)², so at corpus
+    scale hot shingles make this quadratic; prefer the minhash/LSH path
+    there (or bound df with a stop-shingle cutoff) and use this as the
+    verifier on samples."""
+    sh = token_shingles(df, id_col, text_col, n).persist()
+    cand = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(id, h0..h{k-1}): md5-string min per seed — a valid min-wise hash
     family under lexicographic order, portable to any engine with md5.
