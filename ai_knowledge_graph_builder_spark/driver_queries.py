@@ -2861,3 +2861,143 @@ FROM firsts
 
 QUERIES["kg_shadow_entities"] = kg_shadow_entities
 ORACLES["kg_shadow_entities"] = KG_SHADOW_ENTITIES_SQL
+
+
+# ---------------------------------------------------------------------------
+# P4 + D3: predicate exclusion and final edge dedup, value-detectable
+# ---------------------------------------------------------------------------
+def kg_edge_exclusion_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + D3 under driver-oracle coverage through the REAL assemble_triples
+    operator (entity_extractor.py:459 exclusion list; the dedup identity is
+    the full provenance tuple, not bare SPO). The arithmetic edge set plants
+    all three branches: (a) MENTIONS/SENT/SENT_TO rows on the o_orderkey %
+    4 == 1 residue that the exclusion filter must drop, (b) many orders
+    collapsing to the same (src, pred, dst, source) tuple that dedup must
+    fold to one row, and (c) the same SPO under two distinct doc:// sources —
+    legitimate parallel edges that must BOTH survive. A planted Document
+    node exercises the node-prune path without changing the output."""
+    from .operators.graph import assemble_triples
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 400)
+    ok = F.col("o_orderkey")
+    pred = (
+        F.when(ok % 12 == 1, F.lit("MENTIONS"))
+        .when(ok % 12 == 5, F.lit("SENT"))
+        .when(ok % 12 == 9, F.lit("SENT_TO"))
+        .otherwise(F.lit("WORKS_ON"))
+    )
+    src = F.when(
+        ok % 8 < 4, F.lit("project_assignments.csv")
+    ).otherwise(F.format_string("doc://%03d", (ok % 2).cast("int")))
+    edges = orders.select(
+        F.format_string("emp_%02d", (F.col("o_custkey") % 25).cast("int")).alias("src"),
+        pred.alias("predicate"),
+        F.format_string("proj_%d", (ok % 5).cast("int")).alias("dst"),
+        F.lit(1.0).alias("confidence"),
+        src.alias("source"),
+        F.lit(False).alias("flagged"),
+        F.lit(False).alias("inferred"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nodes = (
+        nat.select(
+            F.format_string("emp_%02d", F.col("n_nationkey").cast("int")).alias("id"),
+            F.col("n_name").alias("name"),
+            F.lit("Employee").alias("node_type"),
+        )
+        .unionByName(
+            reg.select(
+                F.format_string("proj_%d", F.col("r_regionkey").cast("int")).alias("id"),
+                F.col("r_name").alias("name"),
+                F.lit("Project").alias("node_type"),
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit("doc_000").alias("id"),
+                F.lit("a doc").alias("name"),
+                F.lit("Document").alias("node_type"),
+            )
+        )
+    )
+    t = assemble_triples(edges, nodes)
+    return t.select(
+        "subject_id", "subject_name", "subject_type", "predicate",
+        "object_id", "object_name", "object_type",
+        F.round("confidence", 4).alias("confidence"),
+        "source", "flagged", "inferred", "text",
+    )
+
+
+KG_EDGE_EXCLUSION_DEDUP_SQL = """
+WITH e AS (
+  SELECT DISTINCT
+         printf('emp_%02d', (o_custkey % 25)::INT) AS src,
+         CASE WHEN o_orderkey % 12 = 1 THEN 'MENTIONS'
+              WHEN o_orderkey % 12 = 5 THEN 'SENT'
+              WHEN o_orderkey % 12 = 9 THEN 'SENT_TO'
+              ELSE 'WORKS_ON' END AS predicate,
+         printf('proj_%d', (o_orderkey % 5)::INT) AS dst,
+         1.0::DOUBLE AS confidence,
+         CASE WHEN o_orderkey % 8 < 4 THEN 'project_assignments.csv'
+              ELSE printf('doc://%03d', (o_orderkey % 2)::INT) END AS source,
+         false AS flagged, false AS inferred
+  FROM orders WHERE o_orderkey < 400
+),
+emp AS (SELECT printf('emp_%02d', n_nationkey::INT) AS id, n_name AS name,
+               'Employee' AS node_type FROM nation),
+proj AS (SELECT printf('proj_%d', r_regionkey::INT) AS id, r_name AS name,
+                'Project' AS node_type FROM region),
+nodes AS (SELECT * FROM emp UNION ALL SELECT * FROM proj)
+SELECT s.id AS subject_id, s.name AS subject_name, s.node_type AS subject_type,
+       e.predicate,
+       o.id AS object_id, o.name AS object_name, o.node_type AS object_type,
+       e.confidence, e.source, e.flagged, e.inferred,
+       s.name || ' ' || lower(replace(e.predicate, '_', ' ')) || ' ' || o.name AS text
+FROM e
+JOIN nodes s ON s.id = e.src
+JOIN nodes o ON o.id = e.dst
+WHERE e.predicate NOT IN ('MENTIONS', 'SENT', 'SENT_TO')
+"""
+
+QUERIES["kg_edge_exclusion_dedup"] = kg_edge_exclusion_dedup
+ORACLES["kg_edge_exclusion_dedup"] = KG_EDGE_EXCLUSION_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# P2: the NER label allow-list, value-detectable
+# ---------------------------------------------------------------------------
+def kg_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 under driver-oracle coverage (entity_extractor.py:176 — only
+    PERSON/ORG/PRODUCT/GPE/LAW spans survive): the fused extract+NER runs
+    with a gazetteer that tags 'hash'→ORG and 'scan'→GPE (allowed) plus
+    'join'→CARDINAL and 'row'→DATE (disallowed). The oracle counts ONLY the
+    allowed words, so if the label filter broke the Spark side would emit
+    two extra groups and the row count flips. All four words are
+    substring-safe in the fixed vocabulary (word-boundary regex == token
+    equality)."""
+    from .operators.mentions import extract_and_detect
+
+    pages = load_pages(spark, sf_dir, salted=True, limit_doc_id=150)
+    gaz = [("hash", "ORG"), ("scan", "GPE"), ("join", "CARDINAL"), ("row", "DATE")]
+    m = extract_and_detect(pages, gaz, presalted=True)
+    return m.groupBy(
+        "label", F.lower(F.col("text")).alias("word")
+    ).agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
+KG_LABEL_FILTER_SQL = """
+WITH d AS (
+  SELECT trim(text) AS t FROM documents
+  WHERE doc_id < 150 AND length(trim(text)) > 0
+),
+w AS (SELECT unnest(string_split_regex(t, '\\s+')) AS w FROM d)
+SELECT CASE w WHEN 'hash' THEN 'ORG' ELSE 'GPE' END AS label,
+       w AS word, count(*)::BIGINT AS n_mentions
+FROM w WHERE w IN ('hash', 'scan')
+GROUP BY 1, 2
+"""
+
+QUERIES["kg_label_filter"] = kg_label_filter
+ORACLES["kg_label_filter"] = KG_LABEL_FILTER_SQL
