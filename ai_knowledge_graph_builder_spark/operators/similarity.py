@@ -177,22 +177,32 @@ def ivf_topk_join(
     probed cells. The centroid table is broadcast-sized (n_cells rows)."""
     spark = items.sparkSession
     if centroids is not None:
+        # Assignment is a pure projection: the codebook is a plan literal and
+        # the argmax runs per-row inside whole-stage codegen — items are
+        # never shuffled or crossJoined to pick their cell (the alternative
+        # — explode ×n_cells + window — shuffles n_cells rows per item,
+        # which at 10^9+ items is the dominant cost of building the index).
+        # Equal-norm ±1 centroids make the dot argmax == cosine argmax;
+        # array_position takes the FIRST max, i.e. ties go to the lower
+        # cell id, matching the query-side row_number ordering.
+        cent_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+        ])
+        dots = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        assigned = items.select(
+            F.col(item_id), F.col(vec_col),
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("cell"),
+        )
         cent_df = spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, centroid array<double>",
-        )
-        it = items.select(F.col(item_id), F.col(vec_col))
-        ic = it.crossJoin(F.broadcast(cent_df)).select(
-            item_id, vec_col, "cell",
-            _cosine_pairs_udf(vec_col, "centroid").alias("cell_score"),
-        )
-        from pyspark.sql import Window as _W
-
-        wi = _W.partitionBy(item_id).orderBy(F.desc("cell_score"), F.asc("cell"))
-        assigned = (
-            ic.withColumn("arank", F.row_number().over(wi))
-            .filter(F.col("arank") == 1)
-            .select(item_id, vec_col, "cell")
         )
     else:
         from pyspark.ml.clustering import KMeans
