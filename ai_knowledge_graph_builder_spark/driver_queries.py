@@ -3001,3 +3001,296 @@ GROUP BY 1, 2
 
 QUERIES["kg_label_filter"] = kg_label_filter
 ORACLES["kg_label_filter"] = KG_LABEL_FILTER_SQL
+
+
+# ---------------------------------------------------------------------------
+# P12: string-date formatting under driver-oracle coverage
+# ---------------------------------------------------------------------------
+def kg_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (gen_data_str.py:79-96 — the reference emits YYYY-MM-DD /
+    YYYY-MM date strings): `F.date_format` over the orders timestamps,
+    rolled up per month so both the month key and the min/max full-date
+    strings are value-checked against DuckDB strftime."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fmt = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+    return fmt.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("order_day").alias("first_day"),
+        F.max("order_day").alias("last_day"),
+    )
+
+
+KG_DATE_FORMATTING_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       count(*)::BIGINT AS n_orders,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+       max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+FROM orders
+GROUP BY 1
+"""
+
+QUERIES["kg_date_formatting"] = kg_date_formatting
+ORACLES["kg_date_formatting"] = KG_DATE_FORMATTING_SQL
+
+
+# ---------------------------------------------------------------------------
+# S8: graph CSV export under driver-oracle coverage (write → read roundtrip)
+# ---------------------------------------------------------------------------
+def kg_graph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (neo4j_loader.py:417-430): the REAL export_graph_csv sink writes
+    nodes.csv/edges.csv (map props JSON-encoded), then BOTH files are read
+    back through Spark's CSV parser and rolled up per predicate — so header
+    handling, quote/escape round-tripping of the JSON props (which embed
+    commas and double quotes), boolean/double formatting, and node-id
+    fidelity are all value-checked. The node props carry a planted
+    `note` of the form `src=<origin>,"q"` to force the CSV writer through
+    its quoting path. The oracle recomputes every aggregate analytically
+    from the same star-schema derivations as kg_ground_truth_edges."""
+    import os
+
+    from .operators.graph import ground_truth_edges
+    from .operators.graph_queries import export_graph_csv
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") < 300)
+    employees = cust.select(
+        F.format_string("emp_%03d", F.col("c_custkey").cast("int")).alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.format_string("emp_%03d", (F.col("c_custkey") % 50).cast("int"))
+        ).alias("manager_id"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 1200)
+    assignments = orders.select(
+        F.format_string("emp_%03d", (F.col("o_custkey") % 300).cast("int")).alias("employee_id"),
+        F.format_string("proj_%02d", (F.col("o_orderkey") % 20).cast("int")).alias("project_id"),
+        F.col("o_orderpriority").alias("role"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    policies = nat.select(
+        F.format_string("pol_%02d", F.col("n_nationkey").cast("int")).alias("id"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.format_string("emp_%03d", F.col("n_nationkey").cast("int"))
+        ).alias("owner_id"),
+    )
+    edges = ground_truth_edges(employees, assignments, policies)
+
+    def _nodes(ids: DataFrame, origin: str) -> DataFrame:
+        return ids.distinct().select(
+            F.col("id"),
+            F.lit("Entity").alias("node_type"),
+            F.map_from_arrays(
+                F.array(F.lit("origin"), F.lit("note")),
+                F.array(F.lit(origin), F.lit(f'src={origin},"q"')),
+            ).alias("props"),
+        )
+
+    nodes = (
+        _nodes(
+            employees.select("id").unionAll(
+                employees.select(F.col("manager_id").alias("id")).filter(
+                    F.col("manager_id").isNotNull()
+                )
+            ),
+            "employees",
+        )
+        .unionByName(_nodes(assignments.select(F.col("project_id").alias("id")), "projects"))
+        .unionByName(_nodes(policies.select("id"), "policies"))
+    )
+
+    out = f"/tmp/kg_export_{os.path.basename(sf_dir.rstrip('/'))}"
+    export_graph_csv(nodes, edges, out)
+
+    e = spark.read.option("header", True).csv(f"{out}/edges").select(
+        "src", "predicate", "dst",
+        F.col("confidence").cast("double").alias("confidence"),
+        F.col("props").alias("props_json"),
+    )
+    n = spark.read.option("header", True).csv(f"{out}/nodes").select(
+        F.col("id").alias("dst"),
+        F.get_json_object("props", "$.origin").alias("dst_origin"),
+        F.get_json_object("props", "$.note").alias("dst_note"),
+    )
+    joined = e.join(n, "dst")
+    return joined.groupBy("predicate").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct("dst").alias("n_dst_nodes"),
+        F.round(F.min("confidence"), 4).alias("min_confidence"),
+        F.min(F.get_json_object("props_json", "$.role")).alias("min_role"),
+        F.max(F.get_json_object("props_json", "$.role")).alias("max_role"),
+        F.min("dst_origin").alias("dst_origin"),
+        F.min("dst_note").alias("dst_note"),
+    )
+
+
+KG_GRAPH_EXPORT_SQL = """
+WITH emp AS (
+  SELECT printf('emp_%03d', c_custkey::INT) AS id,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE printf('emp_%03d', (c_custkey % 50)::INT) END AS manager_id
+  FROM customer WHERE c_custkey < 300
+),
+asn AS (
+  SELECT printf('emp_%03d', (o_custkey % 300)::INT) AS employee_id,
+         printf('proj_%02d', (o_orderkey % 20)::INT) AS project_id,
+         o_orderpriority AS role
+  FROM orders WHERE o_orderkey < 1200
+),
+pol AS (
+  SELECT printf('pol_%02d', n_nationkey::INT) AS id,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL
+              ELSE printf('emp_%03d', n_nationkey::INT) END AS owner_id
+  FROM nation
+),
+edges AS (
+  SELECT id AS src, 'REPORTS_TO' AS predicate, manager_id AS dst,
+         NULL AS role, 'employees' AS dst_origin
+  FROM emp WHERE manager_id IS NOT NULL
+  UNION ALL
+  SELECT employee_id, 'WORKS_ON', project_id, role, 'projects' FROM asn
+  UNION ALL
+  SELECT owner_id, 'OWNS', id, NULL, 'policies' FROM pol WHERE owner_id IS NOT NULL
+)
+SELECT predicate,
+       count(*)::BIGINT AS n_edges,
+       count(DISTINCT src)::BIGINT AS n_src,
+       count(DISTINCT dst)::BIGINT AS n_dst_nodes,
+       1.0::DOUBLE AS min_confidence,
+       min(role) AS min_role,
+       max(role) AS max_role,
+       min(dst_origin) AS dst_origin,
+       'src=' || min(dst_origin) || ',"q"' AS dst_note
+FROM edges
+GROUP BY 1
+"""
+
+QUERIES["kg_graph_export"] = kg_graph_export
+ORACLES["kg_graph_export"] = KG_GRAPH_EXPORT_SQL
+
+
+# ---------------------------------------------------------------------------
+# North-rule pronoun-to-antecedent resolution under driver-oracle coverage
+# ---------------------------------------------------------------------------
+def kg_pronoun_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pronoun pass (operators/canonical.py::resolve_pronouns — the
+    north rule's per-document antecedent resolution) through the REAL
+    cogrouped applyInPandas operator, on a planted fixed-slot corpus whose
+    expected output is computable in closed form.
+
+    Each doc (doc_id < 40) is nine 10-char slots, so every token starts at
+    10*s: slot 1 holds canonical PERSON A (customer/key by parity), slot 3
+    an *external* PERSON (must be skipped as antecedent), slot 5 canonical
+    PERSON B, slot 7 an ORG mention (only moves base_idx), and slots
+    2/4/6/8 hold pronouns cycling through the full 9-pronoun list. Planted
+    branches: a doc_id%3==0 leading pronoun with NO preceding person
+    (dropped, and must not consume a mention_idx), doc_id%5==4 docs with
+    no mentions at all (base_idx=0 path, all pronouns dropped), and the
+    slot-8 pronoun only on doc_id%4==0. The oracle recomputes every row —
+    text, char offsets, mention_idx continuation after the doc's last NER
+    mention, and nearest-preceding-canonical-PERSON attribution —
+    analytically from doc_id arithmetic."""
+    from .operators.canonical import resolve_pronouns
+
+    d = F.col("doc_id")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(d < 40)
+    )
+    # order matches canonical.py _PRONOUNS
+    pron = F.array(*[F.lit(p) for p in (
+        "he", "she", "they", "him", "her", "them", "his", "hers", "their")])
+
+    def _p(s: int):
+        return F.element_at(pron, ((d * 7 + F.lit(s)) % 9 + 1).cast("int"))
+
+    a_name = F.when(d % 2 == 0, F.lit("customer")).otherwise(F.lit("key"))
+    b_name = F.when(d % 2 == 0, F.lit("key")).otherwise(F.lit("customer"))
+    slots = [
+        F.when(d % 3 == 0, _p(0)).otherwise(F.lit("walked")),
+        a_name, _p(2), F.lit("tiger"), _p(4), b_name, _p(6), F.lit("spark"),
+        F.when(d % 4 == 0, _p(8)).otherwise(F.lit("walked")),
+    ]
+    docs = base.select(
+        F.format_string("pron://%08d", d).alias("url"),
+        F.lit("report").alias("doc_type"),
+        F.concat(*[F.rpad(s, 10, " ") for s in slots]).alias("extracted_text"),
+        F.lit(9).alias("word_count"),
+    )
+
+    a_id = F.when(d % 2 == 0, F.lit("emp_001")).otherwise(F.lit("emp_002"))
+    b_id = F.when(d % 2 == 0, F.lit("emp_002")).otherwise(F.lit("emp_001"))
+    mrows = F.array(
+        F.struct(F.lit(0).alias("mention_idx"), F.lit(10).alias("start"),
+                 a_id.alias("resolved_id"), F.lit("PERSON").alias("label"),
+                 F.lit("canonical").alias("resolution_type")),
+        F.struct(F.lit(1).alias("mention_idx"), F.lit(30).alias("start"),
+                 F.lit("ext_tiger").alias("resolved_id"),
+                 F.lit("PERSON").alias("label"),
+                 F.lit("external").alias("resolution_type")),
+        F.struct(F.lit(2).alias("mention_idx"), F.lit(50).alias("start"),
+                 b_id.alias("resolved_id"), F.lit("PERSON").alias("label"),
+                 F.lit("canonical").alias("resolution_type")),
+        F.struct(F.lit(3).alias("mention_idx"), F.lit(70).alias("start"),
+                 F.lit("proj_001").alias("resolved_id"),
+                 F.lit("ORG").alias("label"),
+                 F.lit("canonical").alias("resolution_type")),
+    )
+    ments = (
+        base.filter(d % 5 != 4)
+        .select(F.format_string("pron://%08d", d).alias("url"),
+                F.explode(mrows).alias("m"))
+        .select(
+            "url",
+            F.col("m.start").cast("int").alias("start"),
+            F.col("m.resolved_id").alias("resolved_id"),
+            F.col("m.mention_idx").cast("int").alias("mention_idx"),
+            F.col("m.label").alias("label"),
+            F.col("m.resolution_type").alias("resolution_type"),
+        )
+    )
+    out = resolve_pronouns(docs, ments)
+    return out.select(
+        "url", "doc_type", "mention_idx", "text", "label",
+        F.col("start").alias("start_pos"), F.col("end").alias("end_pos"),
+        "resolved_id", "resolution_method", "resolution_type",
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
+KG_PRONOUN_RESOLUTION_SQL = """
+WITH base AS (
+  SELECT doc_id AS d FROM documents WHERE doc_id < 40 AND doc_id % 5 != 4
+),
+pron(i, p) AS (VALUES
+  (0,'he'),(1,'she'),(2,'they'),(3,'him'),(4,'her'),
+  (5,'them'),(6,'his'),(7,'hers'),(8,'their')),
+slots(s) AS (VALUES (2),(4),(6),(8)),
+rows_ AS (
+  SELECT b.d, sl.s, pr.p,
+         CASE WHEN sl.s <= 4
+              THEN CASE WHEN b.d % 2 = 0 THEN 'emp_001' ELSE 'emp_002' END
+              ELSE CASE WHEN b.d % 2 = 0 THEN 'emp_002' ELSE 'emp_001' END
+         END AS resolved_id
+  FROM base b
+  JOIN slots sl ON (sl.s != 8 OR b.d % 4 = 0)
+  JOIN pron pr ON pr.i = (b.d * 7 + sl.s) % 9
+)
+SELECT printf('pron://%08d', d) AS url,
+       'report' AS doc_type,
+       (3 + s // 2)::INT AS mention_idx,
+       p AS text,
+       'PERSON' AS label,
+       (10 * s)::INT AS start_pos,
+       (10 * s + length(p))::INT AS end_pos,
+       resolved_id,
+       'pronoun_antecedent' AS resolution_method,
+       'canonical' AS resolution_type,
+       0.5::DOUBLE AS confidence
+FROM rows_
+"""
+
+QUERIES["kg_pronoun_resolution"] = kg_pronoun_resolution
+ORACLES["kg_pronoun_resolution"] = KG_PRONOUN_RESOLUTION_SQL
