@@ -138,3 +138,37 @@ def test_minhash_signatures_single_aggregation_no_seed_shuffle(spark):
     # aggregation is the single signature groupBy — HashAggregate over id
     # appears as partial+final once, with no (id, seed) grouping anywhere
     assert "seed#" not in p, "seed column resurfaced — long format is back"
+
+
+def test_ivf_fixed_codebook_assignment_is_projection_only(spark):
+    """The r5 IVF rewrite: with a fixed codebook, the item→cell assignment
+    must be a pure projection (literal-array dot argmax inside codegen) —
+    no crossJoin of items×centroids and no per-item window sort. A plan
+    with a nested-loop join or an items-side exchange before the cell
+    column has regressed to the explode-×-n_cells shape, whose shuffle
+    volume scales with n_cells at 10^9+ items."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_builder_spark.operators.similarity import ivf_topk_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").cast("string").alias("item_id"),
+        F.col("embedding"),
+    )
+    centroids = [[1.0 if d % 16 == c else -1.0 for d in range(64)] for c in range(16)]
+    queries = emb.limit(3).select(F.col("item_id").alias("query_id"), "embedding")
+    out = ivf_topk_join(emb, queries, k=5, n_probe=4, centroids=centroids)
+    p = plan_str(out)
+    assert "CartesianProduct" not in p, p
+    # the ONLY nested-loop join allowed is the broadcast of the tiny
+    # query×centroid table; the items side must not appear under one
+    nl = [ln for ln in p.splitlines() if "NestedLoop" in ln]
+    for ln in nl:
+        assert "Broadcast" in ln, ln
+    # exactly two parquet scans in the whole plan: the items side (feeding
+    # the assignment projection directly) and the limit-3 query side — a
+    # third scan would mean the items relation is read again to pick cells
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
+    assert len(scans) == 2, p
