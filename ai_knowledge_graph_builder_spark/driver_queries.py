@@ -3294,3 +3294,176 @@ FROM rows_
 
 QUERIES["kg_pronoun_resolution"] = kg_pronoun_resolution
 ORACLES["kg_pronoun_resolution"] = KG_PRONOUN_RESOLUTION_SQL
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (Common-Crawl ingest hygiene) under oracle coverage
+# ---------------------------------------------------------------------------
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/urlnorm.canonical_url over a planted crawl: each doc_id <
+    400 emits one of 8 surface variants (host/scheme case, :443/:80
+    default ports, #fragments, utm_*/gclid/fbclid params in leading,
+    trailing, and multiple positions, trailing slashes, and a
+    slash-before-query that must survive). Variants 0-3 collapse to one
+    page, 5-6 to another; 4 and 7 keep their non-tracking query strings.
+    The DuckDB oracle re-implements the whole normalization chain
+    independently in RE2 (the canonicalizer deliberately avoids
+    lookaround so both engines can express it)."""
+    from .functions.urlnorm import canonical_url
+
+    d = F.col("doc_id")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(d < 400)
+    )
+    v, k, j = d % 8, d % 5, d % 3
+    raw = (
+        F.when(v == 0, F.format_string("https://Example.COM/reports/page-%d", k))
+        .when(v == 1, F.format_string("https://example.com:443/reports/page-%d#sec2", k))
+        .when(v == 2, F.format_string("HTTPS://example.com/reports/page-%d?utm_source=feed", k))
+        .when(v == 3, F.format_string("https://example.com/reports/page-%d/", k))
+        .when(v == 4, F.format_string(
+            "https://example.com/reports/page-%d?id=%d&utm_campaign=c&utm_medium=m", k, j))
+        .when(v == 5, F.format_string("http://Mirror.example.com:80/archive/item_%d", j))
+        .when(v == 6, F.format_string("http://mirror.example.com/archive/item_%d?gclid=g123", j))
+        .otherwise(F.format_string(
+            "http://mirror.example.com/archive/item_%d/?id=9&fbclid=f&utm_x=1", j))
+    )
+    urls = base.select(raw.alias("url"))
+    return urls.select(canonical_url(F.col("url")).alias("canonical"), "url").groupBy(
+        "canonical"
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_raw_forms"),
+    )
+
+
+URL_CANONICALIZE_SQL = """
+WITH raw AS (
+  SELECT CASE doc_id % 8
+    WHEN 0 THEN printf('https://Example.COM/reports/page-%d', doc_id % 5)
+    WHEN 1 THEN printf('https://example.com:443/reports/page-%d#sec2', doc_id % 5)
+    WHEN 2 THEN printf('HTTPS://example.com/reports/page-%d?utm_source=feed', doc_id % 5)
+    WHEN 3 THEN printf('https://example.com/reports/page-%d/', doc_id % 5)
+    WHEN 4 THEN printf('https://example.com/reports/page-%d?id=%d&utm_campaign=c&utm_medium=m',
+                       doc_id % 5, doc_id % 3)
+    WHEN 5 THEN printf('http://Mirror.example.com:80/archive/item_%d', doc_id % 3)
+    WHEN 6 THEN printf('http://mirror.example.com/archive/item_%d?gclid=g123', doc_id % 3)
+    ELSE printf('http://mirror.example.com/archive/item_%d/?id=9&fbclid=f&utm_x=1', doc_id % 3)
+  END AS url
+  FROM documents WHERE doc_id < 400
+),
+s1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+s2 AS (
+  SELECT url, lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1))
+              || substr(u, length(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) + 1) AS u
+  FROM s1
+),
+s3 AS (
+  SELECT url,
+    regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(u,
+      '^(http://[^:/?#]*):80/', '\\1/'), '^(http://[^:/?#]*):80\\?', '\\1?'),
+      '^(http://[^:/?#]*):80$', '\\1'), '^(https://[^:/?#]*):443/', '\\1/'),
+      '^(https://[^:/?#]*):443\\?', '\\1?'), '^(https://[^:/?#]*):443$', '\\1') AS u
+  FROM s2
+),
+s4 AS (
+  SELECT url,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+      '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\\1', 'g'),
+      '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]$', ''), '/$', '') AS canonical
+  FROM s3
+)
+SELECT canonical, count(*)::BIGINT AS n_urls,
+       count(DISTINCT url)::BIGINT AS n_raw_forms
+FROM s4
+GROUP BY 1
+"""
+
+QUERIES["url_canonicalize"] = url_canonicalize
+ORACLES["url_canonicalize"] = URL_CANONICALIZE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (training-data quality, beyond-reference)
+# ---------------------------------------------------------------------------
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition fractions à la the Gopher quality rules:
+    the fraction of tokens taken by the most frequent token, and by the
+    most frequent token 2-gram. Bigrams are built by zipping the token
+    array against its own tail — a pure projection, no window and no
+    self-join — then both fractions are two-level hash aggregations
+    ((doc, gram) partial counts → per-doc max), the shape that scales to
+    arbitrarily large corpora. 4dp values use the exact integer HALF_UP
+    (see quality_score) so ties cannot diverge between engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words).cast("long")
+    base = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", words.alias("w"), n.alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    bigrams = F.zip_with(
+        F.expr("slice(w, 1, size(w) - 1)"),
+        F.expr("slice(w, 2, size(w) - 1)"),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    def r4c(p, q):
+        num = F.lit(20000) * p + q
+        den = F.lit(2) * q
+        return ((num - num % den) / den).cast("long") / F.lit(10000.0)
+
+    tok_top = (
+        base.select("doc_id", "n", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "n", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n").agg(F.max("c").alias("max_tok"))
+    )
+    big_top = (
+        base.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("max_big"))
+    )
+    return tok_top.join(big_top, "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        r4c(F.col("max_tok"), F.col("n")).alias("top_token_frac"),
+        r4c(F.col("max_big"), F.col("n") - 1).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents
+  WHERE length(trim(text)) > 0 AND len(string_split_regex(trim(text), '\\s+')) >= 2
+),
+tokc AS (
+  SELECT doc_id, n, unnest(w) AS tok FROM base
+),
+tokm AS (
+  SELECT doc_id, n, max(c) AS max_tok
+  FROM (SELECT doc_id, n, tok, count(*) AS c FROM tokc GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+bigg AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, n)) AS i FROM base)
+),
+bigm AS (
+  SELECT doc_id, max(c) AS max_big
+  FROM (SELECT doc_id, g, count(*) AS c FROM bigg GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n AS n_words,
+       (((20000 * t.max_tok + t.n) // (2 * t.n))::DOUBLE / 10000.0) AS top_token_frac,
+       (((20000 * b.max_big + (t.n - 1)) // (2 * (t.n - 1)))::DOUBLE / 10000.0) AS top_bigram_frac
+FROM tokm t JOIN bigm b USING (doc_id)
+"""
+
+QUERIES["repetition_stats"] = repetition_stats
+ORACLES["repetition_stats"] = REPETITION_STATS_SQL

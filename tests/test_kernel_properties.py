@@ -124,3 +124,36 @@ def test_corpus_integrity_checks_catch_planted_faults():
     drift["products"] = drift["products"].iloc[:-1]
     with pytest.raises(AssertionError, match="count mismatch for product"):
         validate_corpus(drift)
+
+
+def test_canonical_url_cases(spark):
+    """The URL canonicalizer's full contract on hand-picked edge cases:
+    scheme/host lowercasing (path case preserved), fragment stripping,
+    default-port removal only for the matching scheme, tracking-param
+    removal with separator repair (leading, trailing, consecutive), the
+    xutm_ non-match, and trailing-slash semantics (a slash before the
+    query string is NOT trailing)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_builder_spark.functions.urlnorm import canonical_url
+
+    cases = [
+        ("https://Example.COM/Path/Page", "https://example.com/Path/Page"),
+        ("HTTPS://example.com:443/a?x=1#frag", "https://example.com/a?x=1"),
+        ("http://Example.com:80/", "http://example.com"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://a.com/p?utm_source=x", "https://a.com/p"),
+        ("https://a.com/p?utm_a=1&utm_b=2&id=3", "https://a.com/p?id=3"),
+        ("https://a.com/p?id=3&utm_a=1&utm_b=2", "https://a.com/p?id=3"),
+        ("https://a.com/p?xutm_a=1", "https://a.com/p?xutm_a=1"),
+        ("https://a.com/p?gclid=g&fbclid=f", "https://a.com/p"),
+        ("https://a.com/p/?id=1", "https://a.com/p/?id=1"),
+        ("https://a.com/p/", "https://a.com/p"),
+        ("https://a.com/p#a?utm_x=1", "https://a.com/p"),
+        ("http://a.com:80?q=1", "http://a.com?q=1"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": [c[0] for c in cases]}))
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [c[1] for c in cases], list(zip(got, [c[1] for c in cases]))
