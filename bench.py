@@ -35,6 +35,8 @@ HEADLINE = [
     "top_customers",
     "kg_chunk_retrieval",
     "minhash_pairs",
+    "url_canonicalize",
+    "repetition_stats",
 ]
 
 

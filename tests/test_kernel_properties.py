@@ -157,3 +157,49 @@ def test_canonical_url_cases(spark):
     df = spark.createDataFrame(pd.DataFrame({"url": [c[0] for c in cases]}))
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [c[1] for c in cases], list(zip(got, [c[1] for c in cases]))
+
+
+def test_canonical_url_idempotent_and_invariant(spark):
+    """Canonicalization is a projection onto its own image: applying it
+    twice equals applying it once, and every output satisfies the
+    invariants (no fragment, lowercase scheme+host, no default port, no
+    tracking params, no dangling separators, no trailing slash) — checked
+    over the full cross product of surface forms in ONE Spark pass."""
+    import itertools
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_builder_spark.functions.urlnorm import canonical_url
+
+    urls = [
+        f"{scheme}://{host}{port}{path}{query}{frag}"
+        for scheme, host, port, path, query, frag in itertools.product(
+            ["http", "HTTP", "https"],
+            ["a.com", "A.Com"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/", "/P/q", "/P/q/"],
+            ["", "?utm_a=1", "?id=2&utm_a=1&utm_b=2", "?utm_a=1&id=2", "?id=2"],
+            ["", "#f"],
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    out = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    host_re = re.compile(r"^[a-z+.0-9-]+://[a-z0-9.-]*(:[0-9]+)?(?=[/?#]|$)")
+    for r in out:
+        assert r["c1"] == r["c2"], (r["url"], r["c1"], r["c2"])
+        c = r["c1"]
+        assert "#" not in c, c
+        assert host_re.match(c), c
+        # default ports only for their own scheme: http://host:443 stays
+        assert not re.match(r"^http://[^/?#]*:80([/?#]|$)", c), c
+        assert not re.match(r"^https://[^/?#]*:443([/?#]|$)", c), c
+        assert "utm_" not in c and "gclid" not in c and "fbclid" not in c, c
+        assert not c.endswith("?") and not c.endswith("&"), c
+        assert "?&" not in c and "&&" not in c, c
+        assert not c.endswith("/") or c.endswith("://"), c
