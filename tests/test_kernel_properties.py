@@ -203,3 +203,53 @@ def test_canonical_url_idempotent_and_invariant(spark):
         assert not c.endswith("?") and not c.endswith("&"), c
         assert "?&" not in c and "&&" not in c, c
         assert not c.endswith("/") or c.endswith("://"), c
+
+
+def test_rulener_alternation_fast_path_equivalence():
+    """The single-alternation gazetteer scan (engaged only for gazetteers
+    of single alphanumeric tokens, where matches provably cannot overlap)
+    produces byte-identical mentions to the per-phrase finditer loop under
+    the same global sweep — including duplicate-phrase first-wins labels,
+    case-insensitive hits inside cap-run candidates, and prefix tokens
+    (al / alpha / alphabeta)."""
+    import random
+    import re
+
+    from ai_knowledge_graph_builder_spark.functions.ner import RuleNER
+
+    gaz = [("alpha", "ORG"), ("beta", "PERSON"), ("alpha", "LAW"),
+           ("al", "GPE"), ("alphabeta", "PRODUCT"), ("x1", "ORG")]
+    fast = RuleNER(gaz)
+    assert fast._gaz_pat is not None
+    # reference: per-phrase candidates + the same non-gazetteer detectors
+    pats = [(re.compile(r"(?<![0-9A-Za-z])" + re.escape(p) + r"(?![0-9A-Za-z])",
+                        re.IGNORECASE), l) for p, l in gaz]
+    base = RuleNER(None)
+
+    def reference(text):
+        cands = []
+        for pat, label in pats:
+            for m in pat.finditer(text):
+                cands.append((m.start(), m.end(), m.group(0), label, 0))
+        for mm in base(text):
+            prio = 1 if mm.text.startswith(("Mr.", "Ms.", "Mrs.", "Dr.")) else 2
+            cands.append((mm.start, mm.end, mm.text, mm.label, prio))
+        cands.sort(key=lambda c: (c[0], -(c[1] - c[0]), c[4]))
+        out, cur = [], -1
+        for s, e, t, l, _ in cands:
+            if s >= cur:
+                out.append((t, l, s, e))
+                cur = e
+        return out
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "ALPHA", "Alpha", "Beta", "x1", "al",
+             "alphabeta", "Mr.", "Dr. Alpha"]
+    for _ in range(800):
+        t = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
+        got = [(m.text, m.label, m.start, m.end) for m in fast(t)]
+        assert got == reference(t), t
+
+    # multi-word phrases must NOT take the fast path (overlaps possible)
+    assert RuleNER([("alpha beta", "ORG")])._gaz_pat is None
+    assert RuleNER([("a-b", "ORG")])._gaz_pat is None
