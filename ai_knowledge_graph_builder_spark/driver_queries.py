@@ -28,6 +28,17 @@ from .operators.graph import cooccurrence_pairs, infer_edges
 from .operators.linking import build_alias_table, resolve_mentions
 from .plans.pipeline import _empty_edges
 
+
+def round4_frac(p, q):
+    """Exact integer HALF_UP of the rational p/q to 4 decimals:
+    round(1e4·p/q) = (20000·p + q) div (2·q) — bit-identical in any
+    engine. Engine float ``ROUND`` diverges exactly when the true value
+    lands on a .xxxx5 tie, which real corpora DO hit (see the
+    quality_score docstring for the sf0.1 case that forced this)."""
+    num = F.lit(20000) * p + q
+    den = F.lit(2) * q
+    return ((num - num % den) / den).cast("long") / F.lit(10000.0)
+
 # ---------------------------------------------------------------------------
 # Flagship: KG construction over the driver's `documents` table
 # ---------------------------------------------------------------------------
@@ -1106,10 +1117,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(words)).cast("long")
     n_chars = F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast("long")
 
-    def r4c(p, q):
-        num = F.lit(20000) * p + q
-        den = F.lit(2) * q
-        return ((num - num % den) / den).cast("long") / F.lit(10000.0)
+    r4c = round4_frac
 
     # composite numerator over denominator 2500·n (exact rational form):
     # 0.4·min(n,100)/100 + 0.3·(n−ns)/n + 0.3·nd/n = N / (2500·n)
@@ -2713,18 +2721,13 @@ ORACLES["ngram_jaccard"] = NGRAM_JACCARD_SQL
 # ---------------------------------------------------------------------------
 # S1: structured CSV scan → confidence-1.0 ground-truth edges
 # ---------------------------------------------------------------------------
-def kg_ground_truth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 under driver-oracle coverage: the REAL ground_truth_edges operator
-    (neo4j_loader.py:151-213 — REPORTS_TO from employees.manager_id, WORKS_ON
-    from assignments with a role prop, OWNS from policies.owner_id) over
-    structured tables derived arithmetically from the star schema so DuckDB
-    recomputes every edge: employees from customer (every 7th has no
-    manager — the null filter must drop it), assignments from orders (role =
-    o_orderpriority, carried through the props map), policies from nation
-    (every 5th unowned). props is emitted as canonical JSON so the map
-    column itself is value-checked."""
-    from .operators.graph import ground_truth_edges
-
+def _star_schema_entities(spark: SparkSession, sf_dir: str):
+    """employees/assignments/policies derived arithmetically from the star
+    schema (shared by kg_ground_truth_edges and kg_graph_export — keep in
+    sync with ``_STAR_ENTITIES_CTE``, the matching DuckDB derivation):
+    employees from customer (every 7th has no manager), assignments from
+    orders (role = o_orderpriority), policies from nation (every 5th
+    unowned)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") < 300)
     employees = cust.select(
         F.format_string("emp_%03d", F.col("c_custkey").cast("int")).alias("id"),
@@ -2745,17 +2748,12 @@ def kg_ground_truth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("emp_%03d", F.col("n_nationkey").cast("int"))
         ).alias("owner_id"),
     )
-    edges = ground_truth_edges(employees, assignments, policies)
-    return edges.select(
-        "src", "predicate", "dst",
-        F.round("confidence", 4).alias("confidence"),
-        "source", "flagged", "inferred",
-        F.to_json("props").alias("props_json"),
-    )
+    return employees, assignments, policies
 
 
-KG_GROUND_TRUTH_EDGES_SQL = """
-WITH emp AS (
+# the DuckDB mirror of _star_schema_entities, shared by both oracles
+_STAR_ENTITIES_CTE = """
+emp AS (
   SELECT printf('emp_%03d', c_custkey::INT) AS id,
          CASE WHEN c_custkey % 7 = 0 THEN NULL
               ELSE printf('emp_%03d', (c_custkey % 50)::INT) END AS manager_id
@@ -2772,18 +2770,41 @@ pol AS (
          CASE WHEN n_nationkey % 5 = 0 THEN NULL
               ELSE printf('emp_%03d', n_nationkey::INT) END AS owner_id
   FROM nation
-)
+)"""
+
+
+def kg_ground_truth_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 under driver-oracle coverage: the REAL ground_truth_edges operator
+    (neo4j_loader.py:151-213 — REPORTS_TO from employees.manager_id, WORKS_ON
+    from assignments with a role prop, OWNS from policies.owner_id) over
+    the shared arithmetic star-schema derivation so DuckDB recomputes every
+    edge. props is emitted as canonical JSON so the map column itself is
+    value-checked."""
+    from .operators.graph import ground_truth_edges
+
+    employees, assignments, policies = _star_schema_entities(spark, sf_dir)
+    edges = ground_truth_edges(employees, assignments, policies)
+    return edges.select(
+        "src", "predicate", "dst",
+        F.round("confidence", 4).alias("confidence"),
+        "source", "flagged", "inferred",
+        F.to_json("props").alias("props_json"),
+    )
+
+
+KG_GROUND_TRUTH_EDGES_SQL = f"""
+WITH {_STAR_ENTITIES_CTE}
 SELECT id AS src, 'REPORTS_TO' AS predicate, manager_id AS dst,
        1.0::DOUBLE AS confidence, 'employees.csv' AS source,
-       false AS flagged, false AS inferred, '{}' AS props_json
+       false AS flagged, false AS inferred, '{{}}' AS props_json
 FROM emp WHERE manager_id IS NOT NULL
 UNION ALL
 SELECT employee_id, 'WORKS_ON', project_id, 1.0::DOUBLE,
        'project_assignments.csv', false, false,
-       '{"role":"' || role || '"}'
+       '{{"role":"' || role || '"}}'
 FROM asn
 UNION ALL
-SELECT owner_id, 'OWNS', id, 1.0::DOUBLE, 'policies.csv', false, false, '{}'
+SELECT owner_id, 'OWNS', id, 1.0::DOUBLE, 'policies.csv', false, false, '{{}}'
 FROM pol WHERE owner_id IS NOT NULL
 """
 
@@ -3054,26 +3075,7 @@ def kg_graph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import ground_truth_edges
     from .operators.graph_queries import export_graph_csv
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") < 300)
-    employees = cust.select(
-        F.format_string("emp_%03d", F.col("c_custkey").cast("int")).alias("id"),
-        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
-            F.format_string("emp_%03d", (F.col("c_custkey") % 50).cast("int"))
-        ).alias("manager_id"),
-    )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 1200)
-    assignments = orders.select(
-        F.format_string("emp_%03d", (F.col("o_custkey") % 300).cast("int")).alias("employee_id"),
-        F.format_string("proj_%02d", (F.col("o_orderkey") % 20).cast("int")).alias("project_id"),
-        F.col("o_orderpriority").alias("role"),
-    )
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    policies = nat.select(
-        F.format_string("pol_%02d", F.col("n_nationkey").cast("int")).alias("id"),
-        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("string")).otherwise(
-            F.format_string("emp_%03d", F.col("n_nationkey").cast("int"))
-        ).alias("owner_id"),
-    )
+    employees, assignments, policies = _star_schema_entities(spark, sf_dir)
     edges = ground_truth_edges(employees, assignments, policies)
 
     def _nodes(ids: DataFrame, origin: str) -> DataFrame:
@@ -3099,7 +3101,10 @@ def kg_graph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_nodes(policies.select("id"), "policies"))
     )
 
-    out = f"/tmp/kg_export_{os.path.basename(sf_dir.rstrip('/'))}"
+    # pid-scoped so concurrent runs on the same scale factor can't clobber
+    # each other's part files mid read-back; within one process reruns
+    # reuse the dir (the sink overwrites)
+    out = f"/tmp/kg_export_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     export_graph_csv(nodes, edges, out)
 
     e = spark.read.option("header", True).csv(f"{out}/edges").select(
@@ -3125,25 +3130,8 @@ def kg_graph_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KG_GRAPH_EXPORT_SQL = """
-WITH emp AS (
-  SELECT printf('emp_%03d', c_custkey::INT) AS id,
-         CASE WHEN c_custkey % 7 = 0 THEN NULL
-              ELSE printf('emp_%03d', (c_custkey % 50)::INT) END AS manager_id
-  FROM customer WHERE c_custkey < 300
-),
-asn AS (
-  SELECT printf('emp_%03d', (o_custkey % 300)::INT) AS employee_id,
-         printf('proj_%02d', (o_orderkey % 20)::INT) AS project_id,
-         o_orderpriority AS role
-  FROM orders WHERE o_orderkey < 1200
-),
-pol AS (
-  SELECT printf('pol_%02d', n_nationkey::INT) AS id,
-         CASE WHEN n_nationkey % 5 = 0 THEN NULL
-              ELSE printf('emp_%03d', n_nationkey::INT) END AS owner_id
-  FROM nation
-),
+KG_GRAPH_EXPORT_SQL = f"""
+WITH {_STAR_ENTITIES_CTE},
 edges AS (
   SELECT id AS src, 'REPORTS_TO' AS predicate, manager_id AS dst,
          NULL AS role, 'employees' AS dst_origin
@@ -3399,7 +3387,10 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrarily large corpora. 4dp values use the exact integer HALF_UP
     (see quality_score) so ties cannot diverge between engines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.trim("text"), r"\s+")
+    # trim() strips only spaces, so text bounded by tabs/newlines would
+    # split into phantom '' tokens (and a whitespace-only doc would report
+    # top_token_frac=1.0 for the empty token) — drop empties explicitly
+    words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
     n = F.size(words).cast("long")
     base = (
         docs.filter(F.length(F.trim("text")) > 0)
@@ -3411,12 +3402,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("slice(w, 2, size(w) - 1)"),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-
-    def r4c(p, q):
-        num = F.lit(20000) * p + q
-        den = F.lit(2) * q
-        return ((num - num % den) / den).cast("long") / F.lit(10000.0)
-
+    r4c = round4_frac
     tok_top = (
         base.select("doc_id", "n", F.explode("w").alias("tok"))
         .groupBy("doc_id", "n", "tok").agg(F.count(F.lit(1)).alias("c"))
@@ -3437,10 +3423,12 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REPETITION_STATS_SQL = """
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,
-         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS w,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))::BIGINT AS n
   FROM documents
-  WHERE length(trim(text)) > 0 AND len(string_split_regex(trim(text), '\\s+')) >= 2
+  WHERE length(trim(text)) > 0
+    AND len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) >= 2
 ),
 tokc AS (
   SELECT doc_id, n, unnest(w) AS tok FROM base

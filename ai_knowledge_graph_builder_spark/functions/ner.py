@@ -70,25 +70,37 @@ class RuleNER:
     (phrase, label) pairs matched case-insensitively."""
 
     def __init__(self, gazetteer: list[tuple[str, str]] | None = None):
-        # When every phrase is a single purely-alphanumeric token, the
+        # When every phrase is a single ASCII-alphanumeric token, the
         # whole gazetteer collapses into ONE alternation scan (~6× fewer
         # regex passes over every document — this is the per-doc hot
-        # kernel of the whole pipeline). That restriction makes the fast
-        # path exactly equivalent, not just plausibly so: with the
-        # (?<![0-9A-Za-z]) / (?![0-9A-Za-z]) guards, two single-token
-        # matches can never overlap (an overlap would need a token
-        # boundary inside an alphanumeric run), so the alternation's
-        # non-overlapping scan yields the SAME candidate set as the
-        # per-phrase loop, and duplicate phrases resolve first-listed via
-        # the label dict just as the sweep's stable (start,-len,prio)
-        # sort would. Multi-word or punctuated phrases CAN overlap each
-        # other (and a cap-run blocker can reject the long match while
-        # leaving the greedily-suppressed short one viable — found by
-        # fuzzing), so those gazetteers keep the per-phrase loop.
+        # kernel of the whole pipeline). The fast path is taken per
+        # DOCUMENT, only when the text is pure ASCII too (an O(n) C-level
+        # check): that pair of restrictions makes it exactly equivalent,
+        # not just plausibly so. Over ASCII text, IGNORECASE is plain
+        # letter-case folding, so with the (?<![0-9A-Za-z]) /
+        # (?![0-9A-Za-z]) guards two single-token matches can never
+        # overlap (an overlap would need a token boundary inside an
+        # alphanumeric run) — the alternation's non-overlapping scan
+        # yields the SAME candidate set as the per-phrase loop, and
+        # duplicate phrases resolve first-listed via the label dict just
+        # as the sweep's stable (start,-len,prio) sort would. Outside the
+        # restrictions equivalence genuinely breaks (all found by
+        # fuzzing/review): multi-word phrases can overlap and a cap-run
+        # blocker can reject the long match while leaving the
+        # greedily-suppressed short one viable; Unicode case-folds (ſ→s)
+        # let matches overlap even for ASCII phrases AND produce matched
+        # text whose .lower() is not a label key. Such gazetteers/docs
+        # keep the per-phrase loop.
         self._gaz_pat: re.Pattern | None = None
         self._gaz_label: dict[str, str] = {}
         self._gaz: list[tuple[re.Pattern, str, str]] = []
-        if gazetteer and all(p.isalnum() for p, _l in gazetteer):
+        for phrase, label in gazetteer or []:
+            pat = re.compile(
+                r"(?<![0-9A-Za-z])" + re.escape(phrase) + r"(?![0-9A-Za-z])",
+                re.IGNORECASE,
+            )
+            self._gaz.append((pat, phrase, label))
+        if gazetteer and all(p.isalnum() and p.isascii() for p, _l in gazetteer):
             self._gaz_pat = re.compile(
                 r"(?<![0-9A-Za-z])(?:"
                 + "|".join(re.escape(p) for p, _l in gazetteer)
@@ -97,24 +109,18 @@ class RuleNER:
             )
             for phrase, label in gazetteer:  # first-wins on duplicate phrases
                 self._gaz_label.setdefault(phrase.lower(), label)
-        else:
-            for phrase, label in gazetteer or []:
-                pat = re.compile(
-                    r"(?<![0-9A-Za-z])" + re.escape(phrase) + r"(?![0-9A-Za-z])",
-                    re.IGNORECASE,
-                )
-                self._gaz.append((pat, phrase, label))
 
     def __call__(self, text: str) -> list[Mention]:
         # candidates: (start, end, text, label, priority); lower prio wins ties
         cands: list[tuple[int, int, str, str, int]] = []
-        if self._gaz_pat is not None:
+        if self._gaz_pat is not None and text.isascii():
             for m in self._gaz_pat.finditer(text):
                 s = m.group(0)
                 cands.append((m.start(), m.end(), s, self._gaz_label[s.lower()], 0))
-        for pat, _phrase, label in self._gaz:
-            for m in pat.finditer(text):
-                cands.append((m.start(), m.end(), m.group(0), label, 0))
+        else:
+            for pat, _phrase, label in self._gaz:
+                for m in pat.finditer(text):
+                    cands.append((m.start(), m.end(), m.group(0), label, 0))
         for m in _HONORIFIC.finditer(text):
             cands.append((m.start(), m.end(), m.group(0), "PERSON", 1))
         for m in _CAP_RUN.finditer(text):

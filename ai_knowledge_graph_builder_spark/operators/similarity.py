@@ -182,11 +182,21 @@ def ivf_topk_join(
         # never shuffled or crossJoined to pick their cell (the alternative
         # — explode ×n_cells + window — shuffles n_cells rows per item,
         # which at 10^9+ items is the dominant cost of building the index).
-        # Equal-norm ±1 centroids make the dot argmax == cosine argmax;
-        # array_position takes the FIRST max, i.e. ties go to the lower
-        # cell id, matching the query-side row_number ordering.
+        # The literals are the L2-NORMALIZED centroids, so the dot argmax
+        # equals the cosine argmax for ANY codebook (the item's own norm is
+        # constant across cells) — real pre-trained KMeans centroids have
+        # unequal norms, and a raw-dot argmax would assign items to cells
+        # the query-side cosine probe doesn't rank first. array_position
+        # takes the FIRST max, i.e. ties go to the lower cell id, matching
+        # the query-side row_number ordering.
+        import math
+
+        def _unit(c):
+            n = math.sqrt(sum(float(x) * float(x) for x in c))
+            return [float(x) / n for x in c] if n > 0 else [0.0 for _ in c]
+
         cent_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+            F.array(*[F.lit(x) for x in _unit(c)]) for c in centroids
         ])
         dots = F.transform(
             cent_lit,

@@ -243,13 +243,23 @@ def test_rulener_alternation_fast_path_equivalence():
         return out
 
     rng = random.Random(11)
+    # includes Unicode case-fold traps (ſ folds to s): such documents must
+    # route to the per-phrase loop — review found the alternation both
+    # diverges (fold matches can overlap across ASCII boundaries) and
+    # KeyErrors (matched text whose .lower() is not a label key) on them
     words = ["alpha", "beta", "gamma", "ALPHA", "Alpha", "Beta", "x1", "al",
-             "alphabeta", "Mr.", "Dr. Alpha"]
-    for _ in range(800):
+             "alphabeta", "Mr.", "Dr. Alpha", "ſal", "alſbeta", "X-alſx1"]
+    for _ in range(1200):
         t = " ".join(rng.choice(words) for _ in range(rng.randint(1, 12)))
         got = [(m.text, m.label, m.start, m.end) for m in fast(t)]
         assert got == reference(t), t
 
-    # multi-word phrases must NOT take the fast path (overlaps possible)
+    # the direct crash regression: ASCII gazetteer, fold-matching text
+    crash = RuleNER([("sun", "ORG")])
+    assert [(m.text, m.label) for m in crash("a ſun b")] == [("ſun", "ORG")]
+
+    # multi-word, punctuated, or non-ASCII phrases must NOT take the fast
+    # path (overlaps / fold divergence possible)
     assert RuleNER([("alpha beta", "ORG")])._gaz_pat is None
     assert RuleNER([("a-b", "ORG")])._gaz_pat is None
+    assert RuleNER([("café", "ORG")])._gaz_pat is None

@@ -151,6 +151,9 @@ def test_ivf_fixed_codebook_assignment_is_projection_only(spark):
 
     from ai_knowledge_graph_builder_spark.operators.similarity import ivf_topk_join
 
+    # a prior test's persisted embeddings relation would swap the parquet
+    # scans for InMemoryTableScans and break the scan-count assertion
+    spark.catalog.clearCache()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         F.col("vec_id").cast("string").alias("item_id"),
         F.col("embedding"),

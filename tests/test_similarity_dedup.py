@@ -98,3 +98,26 @@ def test_ivf_topk_recall(spark):
         key = (r["query_id"], r["item_id"])
         if key in ex_scores:
             assert abs(r["score"] - ex_scores[key]) < 1e-9
+
+
+def test_ivf_fixed_codebook_assignment_is_cosine_argmax(spark):
+    """Unequal-norm codebooks (real pre-trained KMeans centroids) must
+    assign by COSINE, not raw dot — otherwise items land in cells the
+    query-side cosine probe doesn't rank first. centroids [[2,0],[0,1]]
+    with item [0.6,0.8]: raw dot picks cell 0 (1.2 > 0.8), cosine picks
+    cell 1 (0.6 < 0.8) — the query probing at n_probe=1 from the same
+    direction must find the item."""
+    import pandas as pd
+
+    from ai_knowledge_graph_builder_spark.operators.similarity import ivf_topk_join
+
+    items = spark.createDataFrame(
+        pd.DataFrame({"item_id": ["i1"], "embedding": [[0.6, 0.8]]})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": ["q1"], "embedding": [[0.6, 0.8]]})
+    )
+    got = ivf_topk_join(
+        items, queries, k=1, n_probe=1, centroids=[[2.0, 0.0], [0.0, 1.0]]
+    ).collect()
+    assert [(r["query_id"], r["item_id"]) for r in got] == [("q1", "i1")]
