@@ -42,11 +42,20 @@ def stream_mentions(
     gazetteer: list[tuple[str, str]] | None = None,
     watermark: str = "1 hour",
     available_now: bool = True,
+    canonicalize_urls: bool = False,
 ):
     """Start (or resume) the ingestion stream; returns the StreamingQuery.
     With ``available_now`` the query drains everything currently in
     ``input_dir`` and stops — the incremental batch mode used in tests and
-    cron-style production runs."""
+    cron-style production runs.
+
+    ``canonicalize_urls`` keys the re-crawl dedup on
+    ``functions/urlnorm.canonical_url(url)`` instead of the raw url, so
+    surface variants of the same page (scheme/host case, default ports,
+    tracking params, fragments, trailing slashes) collapse in the
+    watermark state — the standard first step of a real crawl ingest. The
+    canonical form also REPLACES the url column downstream, keeping the
+    (url, mention_idx) mention key consistent across variants."""
     aliases = build_alias_table(registry)
     alias_rows = [
         (r["alias"], r["entity_id"], r["insertion_idx"])
@@ -57,8 +66,15 @@ def stream_mentions(
         spark.readStream.schema(PAGES)
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
-        .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["url"])
+    )
+    if canonicalize_urls:
+        from pyspark.sql import functions as F
+
+        from ..functions.urlnorm import canonical_url
+
+        pages = pages.withColumn("url", canonical_url(F.col("url")))
+    pages = pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

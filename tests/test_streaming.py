@@ -174,3 +174,39 @@ def test_recrawl_dedup_within_watermark(spark, corpus, tmp_path):
     q2 = stream_mentions(spark, in_dir, out_dir, ck, registry)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).filter(f"url = '{url0}'").count() == n0
+
+
+def test_canonical_url_recrawl_dedup(spark, corpus, tmp_path):
+    """With canonicalize_urls=True, SURFACE VARIANTS of the same page url
+    (host case, :443, utm params, trailing slash) dedupe in the watermark
+    state even though the raw urls differ byte-wise, and the sink carries
+    the canonical url."""
+    import pandas as pd
+
+    pages_pd = corpus["pages"].sort_values("warc_ts").head(4).reset_index(drop=True)
+    registry = spark.createDataFrame(corpus["registry"])
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    base = "https://Example.COM/reports/a"
+    variants = [
+        base,
+        "https://example.com:443/reports/a#frag",
+        "https://example.com/reports/a?utm_source=x",
+        "https://example.com/reports/a/",
+    ]
+    b1 = pd.concat([pages_pd] * 1, ignore_index=True)
+    b1 = b1.iloc[: len(variants)].copy()
+    b1["url"] = variants
+    b1["html"] = [b1.loc[0, "html"]] * len(variants)  # same page content
+    b1["text"] = [b1.loc[0, "text"]] * len(variants)
+    b1["warc_ts"] = [pages_pd.loc[0, "warc_ts"] + pd.Timedelta(minutes=i) for i in range(len(variants))]
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = stream_mentions(spark, in_dir, out_dir, ck, registry, canonicalize_urls=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    urls = {r["url"] for r in out.select("url").distinct().collect()}
+    assert urls == {"https://example.com/reports/a"}, urls
+    # processed exactly once: mention_idx values are unique per url
+    n = out.count()
+    assert n == out.select("url", "mention_idx").distinct().count() and n > 0
