@@ -317,7 +317,17 @@ def _pages_cache_path(sf_dir: str, reps: int) -> str:
         + inspect.getsource(render_html).encode()
     ).hexdigest()[:8]
     sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return f"/dev/shm/kg-pages-{sfname}-{reps}-{ver}"
+    path = f"/dev/shm/kg-pages-{sfname}-{reps}-{ver}"
+    # reap superseded generations for this (sf, reps) key — the content
+    # hash in the name means every corpus/kernel change would otherwise
+    # orphan a multi-GB page table on the RAM-backed tmpfs until it fills
+    import glob
+    import shutil
+
+    for old in glob.glob(f"/dev/shm/kg-pages-{sfname}-{reps}-*"):
+        if old != path:
+            shutil.rmtree(old, ignore_errors=True)
+    return path
 
 
 def scan_kg_run(spark, pages_path: str, sf_dir: str, out_dir: str) -> None:
@@ -745,8 +755,14 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             cyc = {"invalid": f"probe error: {type(e).__name__}: {e}"[:300]}
             consec_errors += 1
             if consec_errors >= 5:
+                # write the 5th error's OWN diagnostic line before the stop
+                # marker (it may be a different error than the previous 4);
+                # mode="daemon" keeps the marker out of the paired/jvms
+                # partitions in `summarize`
                 with open(jsonl_path, "a") as f:
-                    f.write(json.dumps({"invalid": "daemon stopped: 5 consecutive cycle errors"}) + "\n")
+                    f.write(json.dumps(cyc) + "\n")
+                    f.write(json.dumps({"mode": "daemon",
+                                        "invalid": "daemon stopped: 5 consecutive cycle errors"}) + "\n")
                 return
             _t.sleep(30)
         if _host_busy():
@@ -869,7 +885,8 @@ if __name__ == "__main__":
             _cycles = [_json.loads(line) for line in _f if line.strip()]
         # partition by mode BEFORE summarizing (ADVICE r4 #5: jvms lines fed
         # into the paired summarizer inflate n_cycles but can never be valid)
-        _paired = [c for c in _cycles if c.get("mode") != "jvms"]
+        # paired cycles carry no "mode"; jvms and daemon-marker lines do
+        _paired = [c for c in _cycles if "mode" not in c]
         _jvms = [c for c in _cycles if c.get("mode") == "jvms"]
         _out = {"paired": summarize_paired_cycles(_paired)}
         _ms = None
@@ -877,16 +894,24 @@ if __name__ == "__main__":
             if _a.startswith("--max-steal="):
                 _ms = float(_a.split("=", 1)[1])
                 _out[f"paired_max_steal_{_ms}"] = summarize_paired_cycles(_paired, max_steal=_ms)
-        _all_jv = [c["value"] for c in _jvms if "value" in c]
+        # a jvms cycle can carry BOTH a value and an "invalid" marker (the
+        # daemon stamps invalid AFTER the probe returns, e.g. "dev workload
+        # appeared mid-cycle") — invalid cycles must never enter the
+        # medians, same as summarize_paired_cycles drops them
+        _all_jv = [c["value"] for c in _jvms
+                   if "value" in c and "invalid" not in c]
+        _n_invalid_jv = sum(1 for c in _jvms if "value" in c and "invalid" in c)
         _jv = [v for v in _all_jv if 0.0 < v <= 2.0]
         _out["jvms"] = {"n_runs": len(_jvms), "n_valid": len(_jv),
+                        "n_dropped_invalid": _n_invalid_jv,
                         "n_dropped_implausible": len(_all_jv) - len(_jv)}
         if _jv:
             _out["jvms"]["median"] = round(_stats.median(_jv), 3)
             _out["jvms"]["values"] = sorted(round(v, 3) for v in _jv)
         for _job in ("fused", "r1"):
             _v = [c["value"] for c in _jvms
-                  if "value" in c and 0.0 < c["value"] <= 2.0
+                  if "value" in c and "invalid" not in c
+                  and 0.0 < c["value"] <= 2.0
                   and c.get("job", "fused") == _job]
             if _v:
                 _out["jvms"][f"{_job}_median"] = round(_stats.median(_v), 3)

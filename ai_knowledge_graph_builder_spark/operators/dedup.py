@@ -53,7 +53,13 @@ def ngram_jaccard_pairs(
     ``minhash_dedup_pairs``. Candidate volume is Σ_s df(s)², so at corpus
     scale hot shingles make this quadratic; prefer the minhash/LSH path
     there (or bound df with a stop-shingle cutoff) and use this as the
-    verifier on samples."""
+    verifier on samples.
+
+    Caching contract: the shingle relation is persisted because the
+    returned lazy plan consumes it twice (candidate join + exact verify);
+    it stays cached for the session after materialization, so long-lived
+    sessions should ``spark.catalog.clearCache()`` once results are
+    materialized (bench.py does, between tries)."""
     sh = token_shingles(df, id_col, text_col, n).persist()
     cand = (
         sh.select(F.col("id").alias("a"), "shingle")
@@ -136,7 +142,10 @@ def minhash_dedup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard >= tau among MinHash-LSH
-    candidates (shingle → minhash → band → bucket-join → verify)."""
+    candidates (shingle → minhash → band → bucket-join → verify). Same
+    caching contract as ``ngram_jaccard_pairs``: the persisted shingle
+    relation stays cached after materialization — clearCache() in
+    long-lived sessions."""
     sh = token_shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)

@@ -584,5 +584,10 @@ def validate_corpus(corpus: dict[str, pd.DataFrame]) -> dict[str, int]:
                 f"{reg_counts.get(etype, 0)} vs {len(corpus[df_key])}"
             )
 
-    assert not errors, "corpus integrity violations:\n  " + "\n  ".join(errors)
+    if errors:
+        # raised explicitly (not an `assert` statement) so `python -O`
+        # cannot strip the generation-time gate
+        raise AssertionError(
+            "corpus integrity violations:\n  " + "\n  ".join(errors)
+        )
     return {name: len(col) for name, col in catalogs.items()}

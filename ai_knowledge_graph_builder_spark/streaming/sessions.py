@@ -88,7 +88,7 @@ def fold_sessions(
     return closed, open_s
 
 
-def _make_sessionizer(gap_s: int):
+def _make_sessionizer(gap_s: int, session_tz: str | None = None):
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -107,9 +107,17 @@ def _make_sessionizer(gap_s: int):
 
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        secs = (
-            batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
-        ).tolist()
+        # Arrow hands timestamps over as tz-NAIVE values localized to the
+        # Spark session timezone; the event-time timeout below compares
+        # against the (UTC-epoch) watermark, so the epoch extraction must
+        # localize back through the session tz — treating the naive value
+        # as UTC in a non-UTC session would set timeouts hours off (west
+        # of UTC: in the past, killing the query once the stream holds
+        # more data than the offset; east: shifting every emitted second)
+        ts = batch["ts"].astype("datetime64[ns]")
+        if session_tz:
+            ts = ts.dt.tz_localize(session_tz)
+        secs = (ts.astype("int64") // 1_000_000_000).tolist()
 
         open_s = tuple(state.get) if state.exists else None
         closed, open_s = fold_sessions(secs, open_s, gap_s)
@@ -143,6 +151,7 @@ def stream_sessions(
     output; ``available_now`` drains the current input and stops."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    session_tz = spark.conf.get("spark.sql.session.timeZone", None)
     events = (
         spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", 4)
@@ -150,7 +159,7 @@ def stream_sessions(
         .withWatermark("ts", watermark)
     )
     sessions = events.groupBy("user_id").applyInPandasWithState(
-        _make_sessionizer(gap_s),
+        _make_sessionizer(gap_s, session_tz),
         SESSION_OUT,
         SESSION_STATE,
         "append",

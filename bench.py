@@ -253,11 +253,14 @@ def run_linking_modes() -> dict:
             resolved, ext = resolve_mentions(
                 mentions_raw, aliases, broadcast_norm_limit=limit
             )
-            resolved.write.format("noop").mode("overwrite").save()
+            # count() is the timed action: it executes the full join AND
+            # yields the row-equality evidence, so the probe never re-runs
+            # the multi-minute resolve a third, untimed time per mode
+            n_resolved = resolved.count()
             sec = time.perf_counter() - t0
             best = sec if best is None or sec < best else best
         out[mode] = round(best, 3)
-        rows[mode] = resolved.count()
+        rows[mode] = n_resolved
         if mode == "shuffle":
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
@@ -274,7 +277,7 @@ def run_linking_modes() -> dict:
         "n_docs": n_docs,
         "n_mentions": n_mentions,
         "resolved_rows": rows["shuffle"],
-        "timing": "min-of-2 per mode, same persisted mention relation",
+        "timing": "min-of-2 per mode (timed action = count), same persisted mention relation",
         "cpus": int(cpus),
     }
 
