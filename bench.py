@@ -105,10 +105,51 @@ def _one_window(spark, sf_dir: str) -> dict:
             "probe_s": round(max(probe0, probe1), 3)}
 
 
+def _stop_accumulation_daemon() -> bool:
+    """Kill any running scaling-accumulation daemon (and its probe
+    children) before an official measurement. Round 4's committed headline
+    was contaminated by the daemon's own in-flight cycle racing the bench
+    (its busy-guard only pauses BETWEEN cycles), so the protection is now
+    structural: whoever runs bench.py gets a quiet host, no manual
+    discipline required. Returns True if anything was stopped."""
+    import signal
+
+    me = os.getpid()
+    stopped = False
+    for pid_dir in os.listdir("/proc"):
+        if not pid_dir.isdigit() or int(pid_dir) == me:
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+        except OSError:
+            continue
+        # match the EXACT spawn shapes (python -m ...bench_scaling <cmd> /
+        # python .../bench_scaling.py <cmd>), not a substring of the full
+        # command line — pgrep -f would also match an interactive shell
+        # whose history/snapshot happens to contain the words and kill it
+        argv = [a.decode("utf-8", "replace") for a in argv if a]
+        if len(argv) < 3 or "python" not in os.path.basename(argv[0]):
+            continue
+        is_mod = argv[1] == "-m" and argv[2].endswith(".bench_scaling")
+        is_script = argv[1].endswith("bench_scaling.py")
+        cmd = argv[3] if is_mod else argv[2] if is_script else None
+        if cmd in ("daemon", "worker", "probe", "jvms-r1"):
+            try:
+                os.kill(int(pid_dir), signal.SIGTERM)
+                stopped = True
+            except OSError:
+                pass
+    if stopped:
+        time.sleep(10)  # let probe JVMs exit and load drain a little
+    return stopped
+
+
 def run_bench() -> dict:
     from ai_knowledge_graph_builder_spark.driver_queries import QUERIES
     from ai_knowledge_graph_builder_spark.session import get_spark
 
+    daemon_stopped = _stop_accumulation_daemon()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("kg-bench", master=f"local[{cpus}]")
@@ -182,6 +223,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / kg_sec, 1),
         "triples_per_sec": round(n_triples / kg_sec, 2),
         "cpus": int(cpus),
+        "daemon_stopped": daemon_stopped,
     }
 
 
