@@ -3402,18 +3402,24 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("slice(w, 2, size(w) - 1)"),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # ONE scan and ONE aggregation chain for both gram kinds: tokens and
+    # bigrams are tagged ('t'/'b') into a single exploded relation, so the
+    # per-(doc, gram) partial count and the per-doc max run once — the
+    # two-subplan version scanned the table twice and joined the results
+    grams = F.concat(
+        F.transform(F.col("w"), lambda t: F.struct(F.lit("t").alias("k"), t.alias("g"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit("b").alias("k"), b.alias("g"))),
+    )
     r4c = round4_frac
-    tok_top = (
-        base.select("doc_id", "n", F.explode("w").alias("tok"))
-        .groupBy("doc_id", "n", "tok").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n").agg(F.max("c").alias("max_tok"))
+    counts = (
+        base.select("doc_id", "n", F.explode(grams).alias("kg"))
+        .groupBy("doc_id", "n", "kg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n").agg(
+            F.max(F.when(F.col("kg.k") == "t", F.col("c"))).alias("max_tok"),
+            F.max(F.when(F.col("kg.k") == "b", F.col("c"))).alias("max_big"),
+        )
     )
-    big_top = (
-        base.select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id").agg(F.max("c").alias("max_big"))
-    )
-    return tok_top.join(big_top, "doc_id").select(
+    return counts.select(
         "doc_id",
         F.col("n").alias("n_words"),
         r4c(F.col("max_tok"), F.col("n")).alias("top_token_frac"),
