@@ -256,6 +256,7 @@ def run_linking_modes() -> dict:
     forces the fallback). Reports both modes' resolve_mentions wall time
     over the SAME persisted mention relation, plus the plan-shape proof
     that the shuffle mode actually engaged."""
+    _stop_accumulation_daemon()
     from ai_knowledge_graph_builder_spark.operators.extraction import extract_documents
     from ai_knowledge_graph_builder_spark.operators.linking import (
         build_alias_table,
