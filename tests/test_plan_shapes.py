@@ -175,3 +175,17 @@ def test_ivf_fixed_codebook_assignment_is_projection_only(spark):
 
     scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)
     assert len(scans) == 2, p
+
+
+def test_repetition_stats_single_scan_single_agg_chain(spark):
+    """repetition_stats computes token AND bigram tops from ONE parquet
+    scan and one aggregation chain (tagged grams) — a regression to the
+    two-subplan shape doubles the scan and adds a join."""
+    import re
+
+    from ai_knowledge_graph_builder_spark.driver_queries import repetition_stats
+
+    spark.catalog.clearCache()
+    p = plan_str(repetition_stats(spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 1, p
+    assert "Join" not in p, p
