@@ -320,12 +320,22 @@ def _pages_cache_path(sf_dir: str, reps: int) -> str:
     path = f"/dev/shm/kg-pages-{sfname}-{reps}-{ver}"
     # reap superseded generations for this (sf, reps) key — the content
     # hash in the name means every corpus/kernel change would otherwise
-    # orphan a multi-GB page table on the RAM-backed tmpfs until it fills
+    # orphan a multi-GB page table on the RAM-backed tmpfs until it fills.
+    # Age-guarded (ADVICE r5 #3): only reap generations untouched for
+    # >30 min, so a concurrently running probe still scanning an older
+    # generation (probe runs are minutes) doesn't lose its input mid-job.
     import glob
     import shutil
+    import time as _t
 
     for old in glob.glob(f"/dev/shm/kg-pages-{sfname}-{reps}-*"):
-        if old != path:
+        if old == path:
+            continue
+        try:
+            age_s = _t.time() - os.stat(old).st_mtime
+        except OSError:
+            continue
+        if age_s > 1800:
             shutil.rmtree(old, ignore_errors=True)
     return path
 
@@ -725,19 +735,51 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
     import json
     import time as _t
 
+    def _valid_r1_jobs() -> int:
+        """Count valid r1-job jvms readings already banked in the JSONL —
+        the r1-priority scheduler (VERDICT r5 ask #3) keys off this."""
+        n = 0
+        try:
+            with open(jsonl_path) as f:
+                for line in f:
+                    try:
+                        c = json.loads(line)
+                    except ValueError:
+                        continue
+                    if (c.get("mode") == "jvms" and c.get("job") == "r1"
+                            and not c.get("invalid")):
+                        n += 1
+        except OSError:
+            pass
+        return n
+
     base = _base_docs(sf_dir)
     done = 0
     consec_errors = 0
+    valid_r1 = _valid_r1_jobs()
     while done < max_cycles:
         if _host_busy():
             _t.sleep(20)
             continue
+        # the error path must stamp the mode of the attempt that FAILED
+        # (ADVICE r5 #1): an unstamped invalid line from a jvms attempt
+        # would land in the paired partition of `summarize` and inflate
+        # its n_cycles — the cross-partition contamination the mode split
+        # was meant to eliminate
+        mode_attempt = "paired"
         try:
-            if jvms_every and done % jvms_every == jvms_every - 1:
-                # alternate the current fused job with the round-1-faithful
-                # unfused job (the 0.91-vs-0.30 autopsy, VERDICT r4 #2) so
-                # both accumulate readings from the same idle-gated windows
-                job = "r1" if (done // jvms_every) % 2 else "fused"
+            # r1-priority (VERDICT r5 ask #3): every r1-job daemon slot in
+            # round 5 landed in a contended window and was invalidated, so
+            # until ≥5 VALID r1 readings exist the jvms slot runs every
+            # other cycle and always runs the r1 job; after that, revert
+            # to every-``jvms_every``-th alternating fused/r1.
+            r1_starved = valid_r1 < 5
+            is_jvms = (done % 2 == 1) if r1_starved else (
+                jvms_every and done % jvms_every == jvms_every - 1)
+            if is_jvms:
+                mode_attempt = "jvms"
+                job = "r1" if r1_starved else (
+                    "r1" if (done // jvms_every) % 2 else "fused")
                 s0, t0 = _steal_snapshot()
                 r = run_cluster_scaling(sf_dir=sf_dir, sizes=(160, 320), job=job)
                 s1, t1 = _steal_snapshot()
@@ -753,6 +795,12 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             # cycle and continue, not kill the accumulation daemon silently
             # (ADVICE r4 #3); 5 consecutive failures = systemic, stop.
             cyc = {"invalid": f"probe error: {type(e).__name__}: {e}"[:300]}
+            if mode_attempt == "jvms":
+                # a failed paired attempt stays mode-less (that IS the
+                # paired partition in `summarize`); a failed jvms attempt
+                # gets its real mode+job so it lands in the jvms partition
+                cyc["mode"] = "jvms"
+                cyc["job"] = job
             consec_errors += 1
             if consec_errors >= 5:
                 # write the 5th error's OWN diagnostic line before the stop
@@ -767,6 +815,9 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             _t.sleep(30)
         if _host_busy():
             cyc["invalid"] = cyc.get("invalid") or "dev workload appeared mid-cycle"
+        if (cyc.get("mode") == "jvms" and cyc.get("job") == "r1"
+                and not cyc.get("invalid")):
+            valid_r1 += 1
         with open(jsonl_path, "a") as f:
             f.write(json.dumps(cyc) + "\n")
         done += 1

@@ -19,6 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def release(result: DataFrame) -> None:
+    """Unpersist the intermediate relations a dedup operator cached for its
+    own multi-consumption (ADVICE r5 #4: the persist would otherwise
+    accumulate in long-lived sessions with clearCache() pushed onto the
+    caller). Call once the result has been materialized:
+
+        pairs = minhash_dedup_pairs(df, "id", "text")
+        pairs.write.parquet(out)   # or .collect()/.count()
+        dedup.release(pairs)
+    """
+    for handle in getattr(result, "_kg_persisted", []):
+        handle.unpersist()
+
+
 def exact_dedup_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(hash, keep_id, dup_count): exact dedup by full-text hash, keeping the
     smallest id (deterministic first-wins)."""
@@ -56,10 +70,11 @@ def ngram_jaccard_pairs(
     verifier on samples.
 
     Caching contract: the shingle relation is persisted because the
-    returned lazy plan consumes it twice (candidate join + exact verify);
-    it stays cached for the session after materialization, so long-lived
-    sessions should ``spark.catalog.clearCache()`` once results are
-    materialized (bench.py does, between tries)."""
+    returned lazy plan consumes it twice (candidate join + exact verify).
+    The persisted handle rides on the result as ``_kg_persisted`` — call
+    ``dedup.release(result)`` after materializing to unpersist
+    deterministically (``spark.catalog.clearCache()`` also works; bench.py
+    clears between tries)."""
     sh = token_shingles(df, id_col, text_col, n).persist()
     cand = (
         sh.select(F.col("id").alias("a"), "shingle")
@@ -68,7 +83,9 @@ def ngram_jaccard_pairs(
         .select("a", "b")
         .distinct()
     )
-    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)
+    out = jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)
+    out._kg_persisted = [sh]
+    return out
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
@@ -144,9 +161,11 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs with exact Jaccard >= tau among MinHash-LSH
     candidates (shingle → minhash → band → bucket-join → verify). Same
     caching contract as ``ngram_jaccard_pairs``: the persisted shingle
-    relation stays cached after materialization — clearCache() in
-    long-lived sessions."""
+    handle rides on the result — ``dedup.release(result)`` after
+    materializing."""
     sh = token_shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
-    return jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)
+    out = jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)
+    out._kg_persisted = [sh]
+    return out

@@ -116,7 +116,15 @@ def _make_sessionizer(gap_s: int, session_tz: str | None = None):
         # more data than the offset; east: shifting every emitted second)
         ts = batch["ts"].astype("datetime64[ns]")
         if session_tz:
-            ts = ts.dt.tz_localize(session_tz)
+            # DST safety (ADVICE r5 #2): in a session tz that observes DST,
+            # a naive value inside the fall-back hour is ambiguous and one
+            # inside the spring-forward gap doesn't exist; the default
+            # tz_localize raises and kills the streaming query. Resolve
+            # deterministically instead: ambiguous → standard time
+            # (ambiguous=False), nonexistent → shift forward across the
+            # gap. Both keep epochs monotone for an in-order event stream.
+            ts = ts.dt.tz_localize(
+                session_tz, ambiguous=False, nonexistent="shift_forward")
         secs = (ts.astype("int64") // 1_000_000_000).tolist()
 
         open_s = tuple(state.get) if state.exists else None

@@ -85,9 +85,24 @@ def _spin_probe() -> float:
 # cross-window retry policy (VERDICT r4 'What's wrong' #1): the committed
 # r4 artifact was a single multi-minute contention window in which all
 # min-of-3 tries were uniformly ~1.5× slow at 0.7% recorded steal.
-MAX_WINDOWS = 3          # full headline passes, each its own time window
+# VERDICT r5 'What's wrong' #1: two windows AGREEING within 12% still
+# published a number 31% over the judge's idle re-run, because sustained
+# neighbor contention makes separated windows agree on the same WRONG
+# number (both at ~7% steal). Agreement is necessary but not sufficient —
+# the early stop now also requires a CLEAN CORROBORATING window: some
+# window whose flagship time is within AGREE_FRAC of the best, whose
+# flagship steal is ≤ STEAL_CLEAN, and whose spin probe is under an
+# absolute host-calibrated idle bound (a relative probe bound is trivially
+# true when every window is equally contended — the r4 failure mode where
+# steal reads clean but scheduling latency inflates everything). If no
+# window ever qualifies, all MAX_WINDOWS run and the cleanest is published
+# with its steal — the failure direction is extra measurement, never a
+# silently contended early accept.
+MAX_WINDOWS = 6          # full headline passes, each its own time window
 WINDOW_GAP_S = 45.0      # sleep between passes to escape a bad window
-AGREE_FRAC = 0.12        # two windows within 12% on the flagship → stop
+AGREE_FRAC = 0.12        # two windows within 12% on the flagship, AND
+STEAL_CLEAN = 0.02       # a corroborating window with flagship steal ≤2% …
+PROBE_IDLE_S = 0.25      # … and spin probe ≤ this (idle ≈ 0.15-0.19 s here)
 
 
 def _one_window(spark, sf_dir: str) -> dict:
@@ -182,7 +197,17 @@ def run_bench() -> dict:
             time.sleep(WINDOW_GAP_S)
         windows.append(_one_window(spark, sf_dir))
         flag = sorted(wd["timings"]["kg_inferred_triples"] for wd in windows)
-        if len(flag) >= 2 and flag[1] - flag[0] <= AGREE_FRAC * flag[0]:
+        if len(flag) < 2 or flag[1] - flag[0] > AGREE_FRAC * flag[0]:
+            continue
+        # agreement alone is not cleanliness (VERDICT r5 #1): early accept
+        # only once some CLEAN window corroborates the best number
+        best = flag[0]
+        if any(
+            wd["timings"]["kg_inferred_triples"] <= (1 + AGREE_FRAC) * best
+            and wd["steals"]["kg_inferred_triples"] <= STEAL_CLEAN
+            and wd["probe_s"] <= PROBE_IDLE_S
+            for wd in windows
+        ):
             break
 
     timings, steals = {}, {}
@@ -214,6 +239,9 @@ def run_bench() -> dict:
             "gap_s": WINDOW_GAP_S,
             "flagship_per_window": [
                 round(wd["timings"]["kg_inferred_triples"], 3) for wd in windows
+            ],
+            "flagship_steal_per_window": [
+                round(wd["steals"]["kg_inferred_triples"], 4) for wd in windows
             ],
             "spin_probe_s": [wd["probe_s"] for wd in windows],
         },
