@@ -713,6 +713,14 @@ def _host_busy() -> bool:
 
     r = subprocess.run(["pgrep", "-f", r"pytest|bench\.py|python3? -$"],
                        capture_output=True, text=True)
+    if r.stdout.strip():
+        return True
+    # ANY live JVM between cycles is a foreign Spark job: the daemon's own
+    # probe JVMs exist only inside a cycle, never when this guard runs, so
+    # a surviving java process means a dev driver (e.g. `python
+    # /tmp/whatever.py` holding a local[8] session — the round-6 r1 cycle
+    # this pattern-based guard missed) is using the cores.
+    r = subprocess.run(["pgrep", "-x", "java"], capture_output=True, text=True)
     return bool(r.stdout.strip())
 
 
@@ -897,6 +905,19 @@ def run_cluster_scaling(sf_dir: str = "/root/testdata/sf0.1",
             return res
         if max(p[2] for p in pts) > 0.05:
             res["invalid"] = f"steal burst at {nw} workers (>5%)"
+            res["metric"] = "scaling_efficiency_N_to_4N"
+            res["unit"] = "ratio"
+            return res
+        if res[f"workers_{nw}"]["fixed_cost_s"] < -2.0:
+            # a materially negative fitted intercept is physically
+            # implausible (per-session fixed cost is real and positive) —
+            # it means the LARGER point ran through a contention episode
+            # the steal counter missed (observed: 53.1 s → 112.8 s for 2×
+            # docs at 1.5-3.7% steal while a dev Spark job the busy-guard
+            # didn't match ran alongside). One-sided filter: it can only
+            # discard contended-low cycles, i.e. bias the surviving jvms
+            # median UP — disclosed in BENCH.md next to the values.
+            res["invalid"] = f"negative fixed cost at {nw} workers (contended window)"
             res["metric"] = "scaling_efficiency_N_to_4N"
             res["unit"] = "ratio"
             return res

@@ -3471,6 +3471,408 @@ ORACLES["repetition_stats"] = REPETITION_STATS_SQL
 
 
 # ---------------------------------------------------------------------------
+# Multimodal verb set under driver-oracle coverage (VERDICT r5 ask #4)
+# ---------------------------------------------------------------------------
+# DuckDB's md5()/sha256() accept VARCHAR only, so raw-byte digests of
+# arbitrary binary are not SQL-recomputable. These rows therefore plant
+# ASCII-SAFE KGB1 blobs — every header byte ≤ 0x7F (dims capped at 127) and
+# an ASCII body — so the exact bytes each operator hashes are a valid UTF-8
+# string both engines agree on byte-for-byte ('KGB1' || chr(m) || chr(0)…
+# chr(dim) || body). The operators under test are the REAL mapInPandas
+# binary-column paths (operators/multimodal.py); only the fixture content
+# is constrained. Verified equivalences: sha256(ascii_body+BE(u32)) and
+# md5(full blob) match hashlib on the raw bytes.
+
+def _ascii_media(spark: SparkSession, sf_dir: str, n: int = 90) -> DataFrame:
+    """ASCII-safe KGB1 fixture blobs derived arithmetically from doc_id:
+    modality = doc_id%3, dims (a,b,c) = (64+(i%5)*8, 48+(i%7)*4, 4+i%9) —
+    all ≤ 96 < 0x80 — body = 'body:%04d'."""
+    import struct
+
+    from .operators.multimodal import MAGIC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < n
+    ).select("doc_id")
+
+    def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                a, b, c = 64 + (i % 5) * 8, 48 + (i % 7) * 4, 4 + i % 9
+                ids.append(f"m{i:06d}")
+                blobs.append(
+                    MAGIC + struct.pack(">BIII", i % 3, a, b, c)
+                    + f"body:{i:04d}".encode()
+                )
+            yield pd.DataFrame({"item_id": ids, "payload": blobs})
+
+    return docs.mapInPandas(_mk, "item_id string, payload binary")
+
+
+# the DuckDB expression for the same blob as a VARCHAR (byte-identical)
+_MEDIA_BLOB_SQL = (
+    "'KGB1' || chr((doc_id % 3)::INT)"
+    " || chr(0)||chr(0)||chr(0)||chr((64 + (doc_id % 5) * 8)::INT)"
+    " || chr(0)||chr(0)||chr(0)||chr((48 + (doc_id % 7) * 4)::INT)"
+    " || chr(0)||chr(0)||chr(0)||chr((4 + doc_id % 9)::INT)"
+    " || printf('body:%04d', doc_id)"
+)
+
+
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out VALUE-checked end-to-end (multimodal.py
+    sample_video_frames — the ffmpeg frame-decode seam): every sampled
+    frame row's digest sha256(body + BE(frame_idx))[:16] is recomputed in
+    DuckDB over the identical bytes, so the fan-out arithmetic (every 2nd
+    frame of n_frames from the decoded header), the modality filter, AND
+    the per-frame digest derivation are all hash-gated."""
+    from .operators.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_ascii_media(spark, sf_dir), every_n=2)
+    return frames.select(
+        "item_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_digest"
+    )
+
+
+MEDIA_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id, (4 + doc_id % 9)::INT AS c
+  FROM documents WHERE doc_id < 90 AND doc_id % 3 = 2
+),
+f AS (SELECT doc_id, unnest(range(0, c, 2)) AS fi FROM v)
+SELECT printf('m%06d', doc_id) AS item_id,
+       fi::BIGINT AS frame_idx,
+       substr(sha256(printf('body:%04d', doc_id)
+                     || chr(0)||chr(0)||chr(0)||chr(fi::INT)), 1, 16) AS frame_digest
+FROM f
+"""
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage with EVERY OUTPUT BYTE value-checked: the resized
+    blob (multimodal.py resize_images — the PIL/cv2 seam) is split into its
+    17-byte header and 128-byte body and hex-compared against DuckDB
+    recomputing header fields analytically and the body as
+    repeat(sha256(src_body + BE(W) + BE(H)), 4). A wrong magic, a dim
+    written little-endian, a dropped channel count, or one wrong body byte
+    flips the hash. Non-image rows must be dropped by the operator."""
+    from .operators.multimodal import resize_images
+
+    resized = resize_images(_ascii_media(spark, sf_dir), width=96, height=56)
+    return resized.select(
+        "item_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 17)"))).alias("header_hex"),
+        F.lower(F.hex(F.expr("substring(payload, 18, 128)"))).alias("body_hex"),
+    )
+
+
+# 96 = 0x60, 56 = 0x38; header = KGB1 + modality 0 + W + H + channels
+MEDIA_RESIZE_SQL = """
+SELECT printf('m%06d', doc_id) AS item_id,
+       145::BIGINT AS n_bytes,
+       '4b474231' || '00' || '00000060' || '00000038'
+         || printf('%08x', (4 + doc_id % 9)::INT) AS header_hex,
+       repeat(sha256(printf('body:%04d', doc_id)
+                     || chr(0)||chr(0)||chr(0)||chr(96)
+                     || chr(0)||chr(0)||chr(0)||chr(56)), 4) AS body_hex
+FROM documents WHERE doc_id < 90 AND doc_id % 3 = 0
+"""
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage (multimodal.py extract_media_features — the
+    CLIP/wav2vec seam) value-checked through the md5-BoW kernel oracle: the
+    64-d ±1 feature vector of each blob's md5 digest is recomputed bit-for-
+    bit in DuckDB (same hex-nibble bit extraction the kg_chunk_retrieval
+    oracle proves), compared via two exact integer projections — the
+    component sum and the position-weighted dot Σ v_j·j, which together
+    pin both the bit values and their order."""
+    from .operators.multimodal import extract_media_features
+
+    feats = extract_media_features(_ascii_media(spark, sf_dir), dim=64)
+    return feats.select(
+        "item_id",
+        F.expr("CAST(aggregate(embedding, 0D, (a, x) -> a + x) AS LONG)").alias("emb_sum"),
+        F.expr(
+            "CAST(aggregate(transform(embedding, (v, i) -> v * CAST(i AS DOUBLE)),"
+            " 0D, (a, x) -> a + x) AS LONG)"
+        ).alias("emb_dot"),
+    )
+
+
+MEDIA_FEATURES_SQL = f"""
+WITH blob AS (
+  SELECT doc_id, {_MEDIA_BLOB_SQL} AS s
+  FROM documents WHERE doc_id < 90
+),
+dig AS (SELECT doc_id, md5('0' || chr(0) || md5(s)) AS h FROM blob),
+sv AS (
+  SELECT doc_id, d.dim,
+         (2 * (((strpos('0123456789abcdef',
+                  substr(h, (d.dim // 8) * 2
+                         + CASE WHEN d.dim % 8 < 4 THEN 1 ELSE 2 END, 1)) - 1)
+                // (CASE d.dim % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                   WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)::BIGINT AS v
+  FROM dig, (SELECT unnest(range(0, 64)) AS dim) d
+)
+SELECT printf('m%06d', doc_id) AS item_id,
+       SUM(v)::BIGINT AS emb_sum,
+       SUM(v * dim)::BIGINT AS emb_dot
+FROM sv GROUP BY 1
+"""
+
+QUERIES["media_frames"] = media_frames
+ORACLES["media_frames"] = MEDIA_FRAMES_SQL
+QUERIES["media_resize"] = media_resize
+ORACLES["media_resize"] = MEDIA_RESIZE_SQL
+QUERIES["media_features"] = media_features
+ORACLES["media_features"] = MEDIA_FEATURES_SQL
+
+
+# ---------------------------------------------------------------------------
+# A10: golden-query harness under driver-oracle coverage (VERDICT r5 ask #5)
+# ---------------------------------------------------------------------------
+def kg_golden_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 through the REAL harness: five planted golden questions (one per
+    category) over the star-schema ground-truth edges are answered by
+    ``answer_golden_queries`` (set-oriented broadcast-question joins) and
+    graded by ``score_golden_weighted`` (the validate_rag.py 0.40/0.30/
+    0.20/0.10 weighted scorer, plans/scoring.py). The questions are crafted
+    so every scoring kernel takes an analytically-derivable branch over the
+    SQL-recomputable answer sets — lowercase underscore names carry no
+    capitalized entities or \\b-delimited numbers (accuracy = 0.8 legs),
+    'what…' questions pin the relevance branch to the ≥3-word rule, and the
+    edge_case question plants a ghost keyword so coverage n/(n+1),
+    completeness (n-1)/(n+1)(+0.2 boost) and the ≥0.5 pass gate all take
+    data-dependent values DuckDB re-derives from n = |E1's project set|:
+
+    - basic_fact: E1's WORKS_ON objects (E1 = most-projects employee,
+      ties by name) — exact match, weighted 0.4+0.3+0.16+rel.
+    - quantitative: subject_count of the same set — answer/expected '<n>.'
+      make the number-overlap accuracy leg 1.0 (acc 0.88), relevance
+      default 0.7.
+    - negative: unknown subject, should_succeed=False — the no-info
+      sentence vs 'N/A' expected pins completeness 0.8.
+    - edge_case: expected = E1's set + ghost 'zz_missing_proj' — exact 0
+      but status+quality PASS (the exact-vs-weighted split is the row's
+      point: pass_rate 1.0 ≥ 0.9 while exact_match 0.0 misses it).
+    - contradiction: flagged_objects over planted flagged edges
+      (confidence 0.9 keeps them out of the ground-truth join).
+
+    Reference: generate_golden_queries.py categories, validate_rag.py
+    :95-113 weights and :398-436 pass gate."""
+    from .operators.graph import ground_truth_edges
+    from .plans.golden import _q, answer_golden_queries, score_golden_weighted
+
+    employees, assignments, policies = _star_schema_entities(spark, sf_dir)
+    gt = ground_truth_edges(employees, assignments, policies).select(
+        F.col("src").alias("subject_name"),
+        "predicate",
+        F.col("dst").alias("object_name"),
+        "confidence",
+        F.lit(False).alias("flagged"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    flagged = nat.filter(F.col("n_nationkey") < 2).select(
+        F.lit("emp_001").alias("subject_name"),
+        F.lit("WORKS_ON").alias("predicate"),
+        F.format_string("conflict_%d", F.col("n_nationkey").cast("int")).alias(
+            "object_name"
+        ),
+        F.lit(0.9).alias("confidence"),
+        F.lit(True).alias("flagged"),
+    )
+    triples = gt.unionByName(flagged)
+
+    # E1 + its project set: a bounded dimension collect (golden questions
+    # are broadcast-sized by design — plans/golden.py module docstring)
+    e1 = (
+        assignments.groupBy("employee_id")
+        .agg(
+            F.countDistinct("project_id").alias("n"),
+            F.sort_array(F.collect_set("project_id")).alias("projs"),
+        )
+        .orderBy(F.desc("n"), F.asc("employee_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    projs = list(e1["projs"])
+
+    golden = pd.DataFrame([
+        _q("g1", "basic_fact", f"what projects are assigned to {e1['employee_id']}?",
+           projs, qtype="subject_objects",
+           subject_name=e1["employee_id"], predicate="WORKS_ON"),
+        _q("g2", "quantitative", f"how many projects does {e1['employee_id']} have?",
+           [str(len(projs))], qtype="subject_count",
+           subject_name=e1["employee_id"], predicate="WORKS_ON"),
+        _q("g3", "negative", "what does zz_ghost own in the graph?",
+           [], should_succeed=False, qtype="subject_objects",
+           subject_name="zz_ghost", predicate="OWNS"),
+        _q("g4", "edge_case",
+           f"what projects does {e1['employee_id']} cover including the planned one?",
+           projs + ["zz_missing_proj"], qtype="subject_objects",
+           subject_name=e1["employee_id"], predicate="WORKS_ON"),
+        _q("g5", "contradiction", "what flagged conflicts exist for emp_001?",
+           ["conflict_0", "conflict_1"], qtype="flagged_objects",
+           subject_name="emp_001", predicate="WORKS_ON"),
+    ])
+    answered = answer_golden_queries(spark, golden, triples, nodes=None)
+    scored = score_golden_weighted(answered)
+    return spark.createDataFrame(
+        [
+            (str(r["category"]), int(r["n"]), float(r["weighted_score"]),
+             float(r["pass_rate"]), float(r["exact_match"]),
+             float(r["threshold"]), bool(r["passed_weighted"]),
+             bool(r["passed_exact"]))
+            for r in scored.to_dict("records")
+        ],
+        "category string, n long, weighted_score double, pass_rate double, "
+        "exact_match double, threshold double, passed_weighted boolean, "
+        "passed_exact boolean",
+    )
+
+
+# Weighted-score arithmetic mirrored branch-by-branch (plans/scoring.py):
+# weighted = ((kw*0.4 + comp*0.3) + acc*0.2) + rel*0.1 in that exact
+# left-associated order so the doubles match bit-for-bit before ROUND.
+KG_GOLDEN_SCORES_SQL = f"""
+WITH {_STAR_ENTITIES_CTE},
+e1 AS (
+  SELECT employee_id, count(DISTINCT project_id)::BIGINT AS n
+  FROM asn GROUP BY 1
+  ORDER BY n DESC, employee_id LIMIT 1
+),
+scores AS (
+  SELECT 'basic_fact' AS category,
+         ((1.0*0.4 + 1.0*0.3) + 0.8*0.2)
+           + (CASE WHEN n >= 3 THEN 0.8 ELSE 0.4 END)*0.1 AS w,
+         1.0 AS pass_rate, 1.0 AS exact_match, 0.80 AS threshold,
+         true AS passed_weighted, true AS passed_exact
+  FROM e1
+  UNION ALL
+  SELECT 'contradiction',
+         ((1.0*0.4 + 1.0*0.3) + 0.8*0.2) + 0.4*0.1,
+         1.0, 1.0, 1.0, true, true
+  UNION ALL
+  SELECT 'edge_case',
+         (((n::DOUBLE/(n+1))*0.4
+           + LEAST(1.0, (n-1)::DOUBLE/(n+1)
+                   + CASE WHEN (n-1)::DOUBLE/(n+1) >= 0.3 AND n >= 3
+                          THEN 0.2 ELSE 0.0 END)*0.3)
+          + 0.8*0.2)
+          + (CASE WHEN n >= 3 THEN 0.8 ELSE 0.4 END)*0.1,
+         1.0, 0.0, 0.90, true, false
+  FROM e1
+  UNION ALL
+  SELECT 'negative',
+         ((1.0*0.4 + 0.8*0.3) + 0.8*0.2) + 0.8*0.1,
+         1.0, 1.0, 0.70, true, true
+  UNION ALL
+  SELECT 'quantitative',
+         ((1.0*0.4 + 1.0*0.3) + (0.8*0.6 + 1.0*0.4)*0.2) + 0.7*0.1,
+         1.0, 1.0, 0.70, true, true
+)
+SELECT category, 1::BIGINT AS n, ROUND(w, 4)::DOUBLE AS weighted_score,
+       pass_rate::DOUBLE AS pass_rate, exact_match::DOUBLE AS exact_match,
+       threshold::DOUBLE AS threshold, passed_weighted, passed_exact
+FROM scores
+"""
+
+QUERIES["kg_golden_scores"] = kg_golden_scores
+ORACLES["kg_golden_scores"] = KG_GOLDEN_SCORES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Stateful-streaming parity as a batch-readable row (VERDICT r5 ask #6)
+# ---------------------------------------------------------------------------
+def kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream==batch sessionization through the driver gate: the REAL
+    ``applyInPandasWithState`` streaming sessionizer (streaming/sessions.py)
+    runs availableNow over the events table staged as a file stream, a
+    far-future sentinel event advances the event-time watermark so every
+    open session flushes via timeout, and the sink is read back and
+    compared against DuckDB batch-sessionizing the same events — the
+    per-session (start, end, n_events) set must be IDENTICAL to the batch
+    gap->1800s semantics the already-green ``sessionize_events`` row proves.
+    Three availableNow drains: (1) all real events in one file/one
+    micro-batch, (2) the sentinel file advances the watermark, (3) timeout
+    processing flushes the remaining open sessions."""
+    import shutil
+    import tempfile
+
+    from .streaming.sessions import stream_sessions
+
+    tmp = tempfile.mkdtemp(prefix="kg-stream-sess-")
+    in_dir, out_dir, ck = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
+    sentinel_uid = 999_999_999
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        # one file -> one micro-batch: no intra-drain watermark hazard from
+        # unordered part files (the file source has no cross-file ordering)
+        ev.coalesce(1).write.parquet(in_dir)
+
+        def _drain() -> None:
+            q = stream_sessions(spark, in_dir, out_dir, ck,
+                                gap_s=1800, watermark="2 hours")
+            q.awaitTermination(600)
+            if q.isActive:  # pragma: no cover - availableNow should stop
+                q.stop()
+
+        _drain()
+        import datetime
+
+        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        sent = spark.createDataFrame(
+            [(0, max_ts + datetime.timedelta(hours=24), sentinel_uid,
+              "sentinel", 0.0, "{}")],
+            ev.schema,
+        )
+        sent.coalesce(1).write.mode("append").parquet(in_dir)
+        _drain()  # sentinel batch: watermark jumps past every gap horizon
+        _drain()  # timeout batch: open sessions flush
+        out = spark.read.parquet(out_dir).filter(
+            F.col("user_id") != sentinel_uid
+        ).select("user_id", "session_start_s", "session_end_s", "n_events")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+KG_STREAM_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_n
+  FROM g
+)
+SELECT user_id,
+       min(floor(epoch(ts))::BIGINT) AS session_start_s,
+       max(floor(epoch(ts))::BIGINT) AS session_end_s,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_n
+"""
+
+QUERIES["kg_stream_sessions"] = kg_stream_sessions
+ORACLES["kg_stream_sessions"] = KG_STREAM_SESSIONS_SQL
+
+
+# ---------------------------------------------------------------------------
 # Registry priority order (VERDICT r5 'What's wrong' #2 / ask #1)
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS artifact checks at most the FIRST 50 queries in
