@@ -189,3 +189,44 @@ def test_repetition_stats_single_scan_single_agg_chain(spark):
     p = plan_str(repetition_stats(spark, SF_DIR))
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 1, p
     assert "Join" not in p, p
+
+
+def test_media_verbs_shuffle_free_and_blob_never_shuffled(spark):
+    """The multimodal verb chains (synthesize → decode/sample/resize/
+    feature-extract → project) are pure mapInPandas pipelines: no Exchange
+    anywhere (a shuffle would move the binary payload across the cluster —
+    the one thing the 100 TB design forbids for blob columns), no join, and
+    the frame fan-out happens inside the Arrow worker, not via explode."""
+    from ai_knowledge_graph_builder_spark.driver_queries import (
+        media_features,
+        media_frames,
+        media_resize,
+    )
+
+    spark.catalog.clearCache()
+    for fn in (media_frames, media_resize, media_features):
+        p = plan_str(fn(spark, SF_DIR))
+        assert "Exchange" not in p, (fn.__name__, p)
+        assert "Join" not in p, (fn.__name__, p)
+
+
+def test_dedup_release_unpersists_shingles(spark):
+    """dedup.release(result) must unpersist the shingle relation the
+    operator cached for its own multi-consumption (ADVICE r5 #4) — the
+    session's cached-relation count returns to its prior level."""
+    from pyspark.sql import functions as F
+
+    from ai_knowledge_graph_builder_spark.operators import dedup
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(40)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", tau=0.5)
+    pairs.count()  # materialize (populates the persisted shingles)
+    assert jsc.getPersistentRDDs().size() > before
+    dedup.release(pairs)
+    assert jsc.getPersistentRDDs().size() == before
