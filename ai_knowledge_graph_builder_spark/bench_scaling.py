@@ -719,7 +719,17 @@ def _host_busy() -> bool:
     # probe JVMs exist only inside a cycle, never when this guard runs, so
     # a surviving java process means a dev driver (e.g. `python
     # /tmp/whatever.py` holding a local[8] session — the round-6 r1 cycle
-    # this pattern-based guard missed) is using the cores.
+    # this pattern-based guard missed) is using the cores. Grace re-check:
+    # a JUST-EXITED probe's JVM can outlive its parent by a few seconds
+    # (observed: the post-cycle check raced our own probe shutdown and
+    # stamped healthy cycles "dev workload appeared mid-cycle"), so only a
+    # JVM that survives the grace window counts as a foreign workload.
+    import time as _t
+
+    r = subprocess.run(["pgrep", "-x", "java"], capture_output=True, text=True)
+    if not r.stdout.strip():
+        return False
+    _t.sleep(8)
     r = subprocess.run(["pgrep", "-x", "java"], capture_output=True, text=True)
     return bool(r.stdout.strip())
 
