@@ -386,6 +386,12 @@ def _probe_main(cpus: str, reps: int, sf_dir: str, scan: bool = False) -> None:
         pages_path = _pages_cache_path(sf_dir, reps)
         if not os.path.exists(f"{pages_path}/_SUCCESS"):
             materialize_pages(spark, sf_dir, reps, pages_path)
+        else:
+            # refresh mtime on every reuse so the 30-min age guard in
+            # _pages_cache_path measures time since LAST USE, not since
+            # materialization — a generation being scanned right now can
+            # never look stale to a concurrent reaper (self-review r6 #2)
+            os.utime(pages_path)
         t0 = _t.perf_counter()
         if scan == "ner":
             # stage-decomposition probe: scan → fused extract+NER → count
@@ -791,7 +797,9 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             # until ≥5 VALID r1 readings exist the jvms slot runs every
             # other cycle and always runs the r1 job; after that, revert
             # to every-``jvms_every``-th alternating fused/r1.
-            r1_starved = valid_r1 < 5
+            # jvms_every=0 still means "no jvms cycles at all" — the
+            # priority path must not override that contract.
+            r1_starved = bool(jvms_every) and valid_r1 < 5
             is_jvms = (done % 2 == 1) if r1_starved else (
                 jvms_every and done % jvms_every == jvms_every - 1)
             if is_jvms:

@@ -28,6 +28,12 @@ def release(result: DataFrame) -> None:
         pairs = minhash_dedup_pairs(df, "id", "text")
         pairs.write.parquet(out)   # or .collect()/.count()
         dedup.release(pairs)
+
+    The handle rides on the operator's DIRECT return value: further
+    transformations (``pairs.filter(...)``) produce new DataFrames without
+    it, so keep a reference to the original (release(original) still works
+    after deriving from it) — same contract as holding any explicit
+    resource handle.
     """
     for handle in getattr(result, "_kg_persisted", []):
         handle.unpersist()

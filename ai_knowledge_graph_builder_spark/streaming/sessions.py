@@ -122,7 +122,13 @@ def _make_sessionizer(gap_s: int, session_tz: str | None = None):
             # tz_localize raises and kills the streaming query. Resolve
             # deterministically instead: ambiguous → standard time
             # (ambiguous=False), nonexistent → shift forward across the
-            # gap. Both keep epochs monotone for an in-order event stream.
+            # gap. LIMITATION: the true instant of a fall-back-hour event
+            # is unrecoverable from a naive timestamp, so gaps spanning
+            # that hour can be under-measured by up to 1 h versus the real
+            # event times, and batch engines may pick the other offset for
+            # the same naive value. Run the sessionizer under a UTC session
+            # timezone — the engine default, and what the driver-gate
+            # parity row uses — when exact gap semantics matter.
             ts = ts.dt.tz_localize(
                 session_tz, ambiguous=False, nonexistent="shift_forward")
         secs = (ts.astype("int64") // 1_000_000_000).tolist()
