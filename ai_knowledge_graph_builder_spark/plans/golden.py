@@ -265,7 +265,15 @@ def answer_golden_queries(
                              "predicate": "q_predicate"})
             .astype(object)
         )
-        qdf = F.broadcast(spark.createDataFrame(qpd.where(pd.notnull(qpd), None)))
+        # explicit schema: every question shape leaves at least one column
+        # all-None (shape 1 has no q_object, shape 2 no q_subject), and
+        # schema inference over an all-None column raises
+        # CANNOT_DETERMINE_TYPE under an Arrow-disabled session (the driver
+        # gate's config) while passing under the Arrow path — r6 verdict #1
+        qdf = F.broadcast(spark.createDataFrame(
+            qpd.where(pd.notnull(qpd), None),
+            "qid string, q_subject string, q_object string, q_predicate string",
+        ))
         hits = (
             qdf.join(gt, cond, "left")
             .groupBy("qid")
@@ -310,7 +318,8 @@ def answer_golden_queries(
     if len(cx):
         t0 = _time.perf_counter()
         qdf = F.broadcast(spark.createDataFrame(
-            cx[["qid", "subject_name"]].rename(columns={"subject_name": "q_subject"})))
+            cx[["qid", "subject_name"]].rename(columns={"subject_name": "q_subject"}),
+            "qid string, q_subject string"))
         mgr = gt.filter(F.col("predicate") == "REPORTS_TO").select(
             F.col("subject_name").alias("q_subject"), F.col("object_name").alias("mgr"))
         works = gt.filter(F.col("predicate") == "WORKS_ON").select(
@@ -329,7 +338,8 @@ def answer_golden_queries(
         t0 = _time.perf_counter()
         qdf = F.broadcast(spark.createDataFrame(
             con[["qid", "subject_name", "predicate"]]
-            .rename(columns={"subject_name": "q_subject", "predicate": "q_predicate"})))
+            .rename(columns={"subject_name": "q_subject", "predicate": "q_predicate"}),
+            "qid string, q_subject string, q_predicate string"))
         flagged = triples.filter(F.col("flagged")).select(
             "subject_name", "predicate", "object_name")
         hits = (

@@ -62,3 +62,35 @@ def test_query_matches_oracle(spark, ddb, name):
     assert got == want, (
         f"{name}: spark-only={sorted(got - want)[:3]} oracle-only={sorted(want - got)[:3]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-config independence (VERDICT r6 ask #2): the driver's gate runs a
+# PLAIN session (no Arrow), while get_spark enables Arrow — round 6's only
+# red row (kg_golden_scores) was a query that executed ONLY under Arrow
+# (schema-less createDataFrame over an all-None pandas column). Running the
+# whole 50-row priority window under an Arrow-disabled session makes that
+# config-skew class structurally impossible.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def spark_no_arrow(spark):
+    s = spark.newSession()
+    s.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+    return s
+
+
+def _priority_window():
+    from ai_knowledge_graph_builder_spark.driver_queries import priority_ordered
+
+    return list(priority_ordered(dict(QUERIES)))[:50]
+
+
+@pytest.mark.parametrize("name", _priority_window())
+def test_query_executes_without_arrow(spark_no_arrow, name):
+    assert (
+        spark_no_arrow.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+        == "false"
+    )
+    rows = QUERIES[name](spark_no_arrow, SF_DIR).collect()
+    assert len(rows) > 0, f"{name} returned no rows under the Arrow-disabled session"
