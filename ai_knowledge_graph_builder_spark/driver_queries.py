@@ -122,17 +122,25 @@ def load_pages(
 def flagship_mentions_raw(
     spark: SparkSession, sf_dir: str, gazetteer: list[tuple[str, str]] | None = None
 ) -> DataFrame:
-    """pages → mentions_raw through the FUSED extract_and_detect operator:
-    salt on the narrow parquet projection, render html, then extraction+NER
-    in ONE Arrow pass (operators/mentions.py). Identical output to the
-    unfused extract_documents → detect_mentions chain (pytest asserts set
-    equality); the html payload crosses the JVM↔Python boundary once instead
-    of three times — the binding memory-bus cost of the flagship cold path
-    (VERDICT r2: 7.6 s unfused vs 1.9 s fused for the same 91k mentions)."""
-    from .operators.mentions import extract_and_detect
+    """documents → mentions_raw through the FULLY FUSED
+    synthesize_extract_and_detect operator: salt on the narrow parquet
+    projection, then page synthesis + extraction + NER in ONE Arrow pass
+    (operators/mentions.py). Identical output to load_pages →
+    extract_and_detect (pytest asserts set equality); the rendered html
+    payload now never crosses the JVM↔Python boundary at all — the round-6
+    two-pass form shipped it out of the synthesis worker and back into the
+    extraction worker (VERDICT r2 measured 7.6 s unfused vs 1.9 s fused
+    for the same mentions; r7 removes the remaining two html crossings)."""
+    from .operators.mentions import synthesize_extract_and_detect
 
-    pages = load_pages(spark, sf_dir, salted=True)
-    return extract_and_detect(pages, gazetteer or flagship_gazetteer(), presalted=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = 4 * spark.sparkContext.defaultParallelism
+    docs = docs.select("doc_id", "text").repartition(
+        n, F.pmod(F.xxhash64("doc_id"), F.lit(n))
+    )
+    return synthesize_extract_and_detect(
+        docs, gazetteer or flagship_gazetteer(), presalted=True
+    )
 
 
 def kg_inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,32 +1024,44 @@ WHERE length(trim(text)) > 0 AND len(string_split_regex(trim(text), '\\s+')) > 0
 def chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 chunking semantics (size 40 / overlap 10 to force multi-chunk docs
     on this corpus; same arithmetic as the 500/100 production setting —
-    embedding_generator.py:208-266)."""
+    embedding_generator.py:208-266).
+
+    The boundary columns are pure arithmetic over the Python-split word
+    count (chunk_text emits [ci·stride, min(ci·stride+size, n)) windows),
+    so this computes them with JVM built-ins — no JVM↔Python crossing of
+    the text payload (guide §4: the former mapInPandas shipped every
+    document into the Python workers to run the same arithmetic; the Arrow
+    round trip alone cost more than the whole query does now). The REAL
+    ``chunk_text`` kernel — including chunk text assembly — stays
+    exercised by kg_chunk_retrieval and the chunking unit tests; equality
+    of this arithmetic with the kernel's boundaries is pinned by
+    tests/test_chunks.py::test_chunk_boundaries_query_matches_kernel."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, starts, ends, wcs = [], [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for c in chunk_text(text, chunk_size=40, overlap=10):
-                    ids.append(doc_id)
-                    idxs.append(c.chunk_index)
-                    starts.append(c.start_word)
-                    ends.append(c.end_word)
-                    wcs.append(c.word_count)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(ids, dtype="int64"),
-                    "chunk_index": pd.array(idxs, dtype="int64"),
-                    "start_word": pd.array(starts, dtype="int64"),
-                    "end_word": pd.array(ends, dtype="int64"),
-                    "word_count": pd.array(wcs, dtype="int64"),
-                }
-            )
-
-    return docs.select("doc_id", "text").mapInPandas(
-        _chunks,
-        "doc_id long, chunk_index long, start_word long, end_word long, word_count long",
+    # spread the single-split test scan (no-op to remove at scale)
+    docs = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Python str.split() semantics: whitespace runs, empties dropped
+    w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    base = docs.select("doc_id", F.size(w).cast("long").alias("n"))
+    n = F.col("n")
+    # chunk_text(size=40, overlap=10): stride 30; one chunk when n <= 40,
+    # else ceil((n-40)/30)+1 windows, the last one partial and never
+    # duplicated (the loop breaks when a window reaches the end)
+    n_chunks = F.when(n <= 40, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - 40) / F.lit(30.0)) + 1
+    )
+    cis = base.select(
+        "doc_id", "n", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("ci")
+    )
+    start = F.col("ci") * 30
+    end = F.least(start + 40, F.col("n"))
+    return cis.select(
+        "doc_id",
+        F.col("ci").alias("chunk_index"),
+        start.alias("start_word"),
+        end.alias("end_word"),
+        (end - start).alias("word_count"),
     )
 
 
@@ -1110,23 +1130,43 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark BigDecimal HALF_UP said 0.5983 while DuckDB's double-arithmetic
     round said 0.5982."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.trim("text"), r"\s+")
-    n = F.size(words).cast("long")
+    # spread the single-split test scan (see repetition_stats — same note:
+    # at production scale the scan has many splits and this is a no-op to
+    # remove); only the cheap non-empty filter stays on the scan side
+    docs = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # stepped projections: each alias below is referenced more than once
+    # downstream, and CollapseProject refrains from inlining non-cheap
+    # aliases — so trim/split/array_distinct/filter are each EVALUATED
+    # once per row (the one-select form re-evaluated the split three
+    # times and every array kernel twice through round4_frac)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("long")
-    n_distinct = F.size(F.array_distinct(words)).cast("long")
-    n_chars = F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast("long")
+    tt = docs.select("doc_id", F.trim("text").alias("tt"))
+    ws = tt.select("doc_id", "tt", F.split("tt", r"\s+").alias("w"))
+    # translate == regexp_replace(tt, '\s+', ''): both remove exactly the
+    # Java \s charset [ \t\n\x0B\f\r], and translate is a single
+    # char-table pass instead of a regex scan
+    counts = ws.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n"),
+        F.size(F.filter("w", lambda w: F.array_contains(stop_arr, w))).cast("long").alias("n_stop"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        F.length(F.translate("tt", " \t\n\x0b\x0c\r", "")).cast("long").alias("n_chars"),
+    )
 
     r4c = round4_frac
-
+    n, n_stop, n_distinct = F.col("n"), F.col("n_stop"), F.col("n_distinct")
     # composite numerator over denominator 2500·n (exact rational form):
     # 0.4·min(n,100)/100 + 0.3·(n−ns)/n + 0.3·nd/n = N / (2500·n)
     n_cap = F.least(n, F.lit(100))
     num_q = F.lit(10) * n * n_cap + F.lit(750) * (n - n_stop) + F.lit(750) * n_distinct
-    return docs.filter(F.length(F.trim("text")) > 0).select(
+    return counts.select(
         "doc_id",
         n.alias("n_words"),
-        r4c(n_chars, n).alias("mean_word_len"),
+        r4c(F.col("n_chars"), n).alias("mean_word_len"),
         r4c(n_stop, n).alias("stopword_ratio"),
         r4c(n_distinct, n).alias("distinct_ratio"),
         r4c(num_q, F.lit(2500) * n).alias("quality"),
@@ -1202,7 +1242,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     No explode, no groupBy, zero shuffle: the signature of a doc never leaves
     the task that scanned it (the previous formulation exploded 32 rows per
     TOKEN and shuffled them — a scale-killer at 100 TB token counts; that
-    formulation survives as the DuckDB oracle)."""
+    formulation survives as the DuckDB oracle). r7 note: an explode + 32
+    codegen'd SUM columns variant was measured FASTER at sf1.0 (1.21 s vs
+    1.63 s) but pays ~0.5 s of per-plan codegen compilation (fresh
+    expression ids defeat the Janino cache) and lost at sf0.1 (1.15 s vs
+    0.43 s) — the fold form is kept as the better shape across scales."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     # the test parquet is one tiny file → one scan split; spread the signature
     # compute across cores. At production scale the scan has thousands of
@@ -1274,15 +1318,45 @@ def _cosine_expr(a, b):
     return dot / (na * nb)
 
 
+def _dot_expr(ad, bd):
+    """Sequential float64 dot of two pre-cast double arrays — identical
+    arithmetic (same element order, cast before multiply) to the dot inside
+    ``_cosine_expr``, so scores are bit-for-bit unchanged when the norms
+    are precomputed per vector instead of per pair."""
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _normed(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, ed, nrm): embedding cast to double once and its L2 norm
+    computed ONCE PER VECTOR — the per-pair form re-ran both norm folds for
+    every candidate pair (2 × pairs extra folds). Two-step select so
+    CollapseProject cannot inline (re-evaluate) the cast array into the
+    norm fold."""
+    ed = emb.select(
+        "vec_id", F.transform(vec_col, lambda x: x.cast("double")).alias("ed")
+    )
+    nrm = F.sqrt(F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x * x))
+    return ed.select("vec_id", "ed", nrm.alias("nrm"))
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector
     (rag_system.py:486-517 FAISS IndexFlatIP analog; k and ordering pinned)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    scored = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(_cosine_expr(F.col("embedding"), F.col("q_emb")), 4).alias("score"))
+    # query-side cast+norm precomputed once on the (1-row) broadcast build
+    # side instead of once per scanned item row (_normed — same fold
+    # arithmetic, bit-identical scores)
+    q = _normed(emb.filter(F.col("vec_id") == 0)).select(
+        F.col("ed").alias("q_ed"), F.col("nrm").alias("q_nrm")
+    )
+    items = _normed(emb.filter(F.col("vec_id") != 0))
+    scored = items.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(
+            _dot_expr(F.col("ed"), F.col("q_ed")) / (F.col("nrm") * F.col("q_nrm")), 4
+        ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
 
@@ -1301,14 +1375,23 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.35 within vec_id < 300 (brute-force oracle
     band for the LSH join; threshold on the ROUNDED score so both engines
     agree at the boundary)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    pairs = a.join(b, F.col("v1") < F.col("v2"))
-    scored = pairs.select(
-        "v1", "v2", F.round(_cosine_expr(F.col("e1"), F.col("e2")), 4).alias("score")
+    emb = _normed(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
     )
-    return scored.filter(F.col("score") >= 0.35)
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("ed").alias("e1"), F.col("nrm").alias("n1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("ed").alias("e2"), F.col("nrm").alias("n2"))
+    score = F.round(
+        _dot_expr(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
+    )
+    # the score threshold lives IN the join condition, after the cheap
+    # v1 < v2 conjunct: written as a post-projection filter, the optimizer
+    # pushes it into the nested-loop condition AHEAD of the id comparison,
+    # evaluating the full cosine for all n² ordered combinations instead
+    # of n²/2 (the round-6 plan did exactly that — both folds first, id
+    # check last); norms are precomputed per vector (_normed), so each
+    # candidate pair pays one dot fold only
+    pairs = a.join(b, (F.col("v1") < F.col("v2")) & (score >= 0.35))
+    return pairs.select("v1", "v2", score.alias("score"))
 
 
 COSINE_PAIRS_SQL = """
@@ -1416,15 +1499,38 @@ WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
 
 def events_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3 shape on events: per-user distinct event types → unordered pair
-    counts across users (two-level aggregation, the co-occurrence kernel)."""
+    counts across users (the co-occurrence kernel). One scan + one per-user
+    set aggregation + one in-row pair explode + one pair count — the self-
+    join form scanned and distinct-aggregated the events table TWICE (the
+    broadcast side cannot reuse the stream side's exchange) and then joined;
+    here the k(k-1)/2 ordered pairs are built inside the row over the SORTED
+    per-user type set (position order ⇒ t1 < t2), same as the flagship's
+    cooccurrence_pairs (r7)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    per_user = ev.select("user_id", "event_type").distinct()
-    a = per_user.alias("a")
-    b = per_user.alias("b")
-    pairs = a.join(b, "user_id").filter(F.col("a.event_type") < F.col("b.event_type"))
-    return pairs.groupBy(
-        F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # key-matched repartition: the events parquet is one row group → one
+    # scan task, so a map-side partial collect_set would run serially; an
+    # explicit hash repartition on the GROUPING key at the session's
+    # shuffle parallelism IS the aggregation's exchange (Spark reuses the
+    # partitioning — one shuffle total), moving the raw narrow rows and
+    # running the whole set-build in parallel
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    per_user = (
+        ev.select("user_id", "event_type")
+        .repartition(n_shuffle, "user_id")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice("ts", i + F.lit(2), F.size("ts")),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    pairs = per_user.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
+    return pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 EVENTS_COOCCUR_SQL = """
@@ -1635,14 +1741,23 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
         .select(F.col("doc_id").cast("long").alias("doc_id"), F.trim("text").alias("text"))
     )
+    # original + mutated variants from ONE scan via an in-row explode (the
+    # unionAll form planned two parquet scans of the same file)
     words = F.split(F.col("text"), r"\s+")
-    mutated = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(words, 2, 1000000)).alias("text"),
+    variants = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 2, 1000000)).alias("text"),
+        ),
     )
-    both = docs.unionAll(mutated).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    both = docs.select(F.explode(variants).alias("v")).select(
+        F.col("v.doc_id").cast("string").alias("doc_id"), F.col("v.text").alias("text")
     )
+    # spread the one-split test scan before the in-row shingle/minhash
+    # projections (16 md5 passes per doc would otherwise run on one core;
+    # no-op to remove at scale — see repetition_stats)
+    both = both.repartition(spark.sparkContext.defaultParallelism)
     pairs = minhash_dedup_pairs(both, "doc_id", "text", tau=0.5, num_hashes=16, bands=4)
     # tie-consistent 4dp: floor(x·1e4 + 0.5) is the same IEEE arithmetic in
     # both engines even when the integer-ratio jaccard lands on a .xxxx5
@@ -3384,49 +3499,75 @@ ORACLES["url_canonicalize"] = URL_CANONICALIZE_SQL
 # ---------------------------------------------------------------------------
 # Gopher-style repetition filters (training-data quality, beyond-reference)
 # ---------------------------------------------------------------------------
+def _max_run_count(sorted_arr):
+    """Count of the most frequent element of a SORTED array, as the longest
+    run of equal adjacent elements — one fold, no explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _step(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, _step, lambda acc: acc["best"])
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition fractions à la the Gopher quality rules:
     the fraction of tokens taken by the most frequent token, and by the
-    most frequent token 2-gram. Bigrams are built by zipping the token
-    array against its own tail — a pure projection, no window and no
-    self-join — then both fractions are two-level hash aggregations
-    ((doc, gram) partial counts → per-doc max), the shape that scales to
-    arbitrarily large corpora. 4dp values use the exact integer HALF_UP
-    (see quality_score) so ties cannot diverge between engines."""
+    most frequent token 2-gram. Both fractions are PER-DOCUMENT facts, so
+    no row ever needs to leave the task that scanned it: the token (and
+    zip-built bigram) array is sorted in place and the top count is the
+    longest equal-run of the sorted array — a pure projection, zero
+    Exchange, zero Generate (the previous shape exploded ~2 gram rows per
+    token into a two-level hash aggregation, shuffling the whole gram
+    relation; at 100 TB that shuffle IS the query). 4dp values use the
+    exact integer HALF_UP (see quality_score) so ties cannot diverge
+    between engines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The emitted row set is exactly {docs with >= 2 non-empty tokens}
+    # (n >= 2 subsumes length(trim) > 0). Written as an early-exit rlike:
+    # two non-space runs separated by whitespace exist ⟺ '\S\s+\S' matches
+    # — the literal size(split(...)) >= 2 form gets PUSHED below the
+    # repartition (filters cross RoundRobin exchanges) and re-runs the
+    # full regex split serially on the pre-spread side.
+    docs = docs.filter(F.trim(F.col("text")).rlike(r"\S\s+\S"))
+    # spread the scan: the test parquet is one tiny file → one split, so
+    # without this the whole per-doc fold runs on one core. At production
+    # scale the scan has thousands of splits and this round-robin
+    # repartition of the narrow (doc_id, text) projection is a no-op to
+    # remove — it is NOT part of the algorithm (which is shuffle-free).
+    docs = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # trim() strips only spaces, so text bounded by tabs/newlines would
     # split into phantom '' tokens (and a whitespace-only doc would report
     # top_token_frac=1.0 for the empty token) — drop empties explicitly
     words = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
     n = F.size(words).cast("long")
-    base = (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", words.alias("w"), n.alias("n"))
-        .filter(F.col("n") >= 2)
-    )
+    base = docs.select("doc_id", words.alias("w"), n.alias("n"))
     bigrams = F.zip_with(
         F.expr("slice(w, 1, size(w) - 1)"),
         F.expr("slice(w, 2, size(w) - 1)"),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    # ONE scan and ONE aggregation chain for both gram kinds: tokens and
-    # bigrams are tagged ('t'/'b') into a single exploded relation, so the
-    # per-(doc, gram) partial count and the per-doc max run once — the
-    # two-subplan version scanned the table twice and joined the results
-    grams = F.concat(
-        F.transform(F.col("w"), lambda t: F.struct(F.lit("t").alias("k"), t.alias("g"))),
-        F.transform(bigrams, lambda b: F.struct(F.lit("b").alias("k"), b.alias("g"))),
+    # two-step projection: round4_frac references its numerator twice, and
+    # CollapseProject would inline (and so EVALUATE) each sort+fold twice
+    # if the fractions were built in one select — the intermediate aliases
+    # keep every sort/fold single-evaluated (verified in the plan)
+    mid = base.select(
+        "doc_id",
+        "n",
+        _max_run_count(F.array_sort(F.col("w"))).alias("max_tok"),
+        _max_run_count(F.array_sort(bigrams)).alias("max_big"),
     )
     r4c = round4_frac
-    counts = (
-        base.select("doc_id", "n", F.explode(grams).alias("kg"))
-        .groupBy("doc_id", "n", "kg").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n").agg(
-            F.max(F.when(F.col("kg.k") == "t", F.col("c"))).alias("max_tok"),
-            F.max(F.when(F.col("kg.k") == "b", F.col("c"))).alias("max_big"),
-        )
-    )
-    return counts.select(
+    return mid.select(
         "doc_id",
         F.col("n").alias("n_words"),
         r4c(F.col("max_tok"), F.col("n")).alias("top_token_frac"),

@@ -156,6 +156,23 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh): the DISTINCT token n-gram set of each row as an in-row
+    array — same shingle definition as ``token_shingles`` but deduplicated
+    with ``array_distinct`` inside the row instead of a global DISTINCT,
+    which removes a whole (id, shingle)-keyed shuffle (dedup is per-id, so
+    no row ever needed to leave its task for it)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles).alias("sh")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,13 +182,42 @@ def minhash_dedup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard >= tau among MinHash-LSH
-    candidates (shingle → minhash → band → bucket-join → verify). Same
-    caching contract as ``ngram_jaccard_pairs``: the persisted shingle
+    candidates (shingle → minhash → band → bucket-join → verify).
+
+    r7 shape — everything per-document happens IN THE ROW: the distinct
+    shingle set is an ``array_distinct`` (no global DISTINCT shuffle), all
+    k minhashes are ``array_min(transform(...))`` projections over it (no
+    groupBy at all — the r5 form still shuffled one signature row per doc),
+    and the exact verify is ``array_intersect`` over the two candidates'
+    shingle arrays (no exploded-relation joins + count agg). The only
+    exchanges left are the (band, band_sig) candidate self-join and the two
+    candidate→array attach joins, all keyed and AQE-skew-safe; candidate
+    pairs alone pay verification, exactly as before.
+
+    Same caching contract as ``ngram_jaccard_pairs``: the persisted shingle
     handle rides on the result — ``dedup.release(result)`` after
     materializing."""
-    sh = token_shingles(df, id_col, text_col).persist()
-    sig = minhash_signatures(sh, num_hashes)
+    base = shingle_arrays(df, id_col, text_col).persist()
+    mins = [
+        F.array_min(
+            F.transform("sh", lambda x: F.md5(F.concat_ws(":", F.lit(str(i)), x)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = base.select("id", *mins)
     cand = lsh_candidate_pairs(sig, bands, num_hashes // bands)
-    out = jaccard_verify(cand, sh).filter(F.col("jaccard") >= tau)
-    out._kg_persisted = [sh]
+    j = (
+        cand.join(base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    jm = j.select(
+        "a",
+        "b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("common"),
+        F.size("sh_a").cast("long").alias("na"),
+        F.size("sh_b").cast("long").alias("nb"),
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    out = jm.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= tau)
+    out._kg_persisted = [base]
     return out

@@ -31,21 +31,30 @@ def cooccurrence_pairs(mentions_resolved: DataFrame) -> DataFrame:
     The reference stores both directions (entity_extractor.py:371-372); we
     keep the canonical unordered pair and orient at inference time."""
     # One hash agg collapses per-doc duplicates into an entity SET, then the
-    # pair expansion is a NARROW double-explode inside the row (bounded: a
+    # pair expansion is a NARROW single explode inside the row (bounded: a
     # doc's distinct entity count, not its mention count) — 2 shuffles total
     # (this agg + the pair count) vs 3 for the dedup + url-self-join
     # formulation, and no join at all. At 100 TB the url self-join would
     # re-shuffle the mention relation twice; this shape touches it once.
+    # The k(k-1)/2 ordered pairs are built in the row over the SORTED id
+    # set (position order ⇒ e1 < e2), so the explode generates exactly the
+    # output pairs — the earlier double-explode generated all k²
+    # combinations and filtered half away (r7).
     per_doc = (
         mentions_resolved.filter(F.col("resolution_type") == "canonical")
         .groupBy("url")
-        .agg(F.collect_set("resolved_id").alias("ids"))
+        .agg(F.sort_array(F.collect_set("resolved_id")).alias("ids"))
     )
-    pairs = (
-        per_doc.select(F.explode("ids").alias("e1"), "ids")
-        .select("e1", F.explode("ids").alias("e2"))
-        .filter(F.col("e1") < F.col("e2"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("e1"), y.alias("e2")),
+            ),
+        )
     )
+    pairs = per_doc.select(F.explode(pair_arr).alias("p")).select("p.e1", "p.e2")
     return pairs.groupBy("e1", "e2").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -180,15 +180,16 @@ def resolve_mentions(
     # threads over a COLD cache each recompute the whole upstream UDF chain
     # (observed: extraction+NER ran 3x, inverting the scaling curve).
     m = link_exact(mentions_raw, aliases).persist()
-    m.count()
 
     # per-norm summary: broadcast-sized (distinct surface texts). Persisted
     # AND eagerly materialized: its two consumers (fuzzy scoring, the
     # external gate) are broadcast subtrees that AQE materializes
     # CONCURRENTLY in the final job; over a cold cache each racing thread
     # re-runs the groupBy over the full mention relation. The aggregation
-    # reads the cached `m`, so this is one cheap pass, not a UDF-chain
-    # re-execution.
+    # reads `m` WHILE caching it (r7: the eager m.count() that used to run
+    # first was a whole extra pass — one action now populates both caches
+    # and returns the broadcast-guard count, three driver round trips
+    # folded into one).
     #
     # First-arrival attribution uses min_by / a 2-field struct min, NOT
     # min(struct(url, mention_idx, label)): a 3-field struct Min aggregate
@@ -206,7 +207,6 @@ def resolve_mentions(
         F.min_by("label", arrival).alias("first_label"),
         F.first("exact_id").alias("norm_exact_id"),  # constant per norm
     ).persist()
-    per_norm.count()
 
     # Size guard for the norm-keyed side outputs: `scored` and `ext` have at
     # most one row per distinct UNRESOLVED norm. With the gazetteer NER that
@@ -215,10 +215,15 @@ def resolve_mentions(
     # NER (the production spaCy path, entity_extractor.py:169-190) distinct
     # unresolved surface forms are corpus-proportional — broadcasting them
     # would OOM the driver at 100 TB — so above the limit the join-backs
-    # become sort-merge joins on norm. The count is one pass over the
-    # already-persisted per_norm aggregate, effectively free.
+    # become sort-merge joins on norm. This ONE action is the single eager
+    # materialization of the whole resolve: it computes the upstream chain
+    # once (caching `m` en route), caches `per_norm`, and returns the
+    # unresolved-norm count for the guard.
     unresolved = per_norm.filter(F.col("norm_exact_id").isNull())
-    norms_fit_broadcast = unresolved.count() <= broadcast_norm_limit
+    n_unresolved = per_norm.agg(
+        F.count(F.when(F.col("norm_exact_id").isNull(), 1)).alias("n")
+    ).collect()[0]["n"]
+    norms_fit_broadcast = n_unresolved <= broadcast_norm_limit
 
     def _dim(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if norms_fit_broadcast else df.hint("merge")

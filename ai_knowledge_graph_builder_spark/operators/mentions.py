@@ -133,3 +133,64 @@ def extract_and_detect(
             )
 
     return src.mapInPandas(_run, MENTION_SCHEMA)
+
+
+def synthesize_extract_and_detect(
+    docs: DataFrame,
+    gazetteer: list[tuple[str, str]] | None = None,
+    presalted: bool = False,
+) -> DataFrame:
+    """Fused corpus synthesis + S3-S5 + U1: documents(doc_id, text) →
+    mentions_raw in ONE Arrow pass.
+
+    Semantics are exactly ``load_pages → extract_and_detect`` (pytest
+    asserts set equality): url = doc://%08d, html = render_html("doc %d",
+    text), text' = extract_text(html), then the P1 wc>0 filter and NER.
+    The round-6 flagship ran the synthesis and the extraction as TWO
+    mapInPandas nodes in the same stage, so the rendered html payload —
+    the widest column in the pipeline — crossed Python→JVM→Python between
+    them for no reason; here it is born and consumed inside one Python
+    worker pass and the only boundary traffic is (doc_id, text) in and the
+    mention rows out. Use ``load_pages`` + ``extract_and_detect`` when the
+    pages relation itself must materialize."""
+    from ..functions.html import extract_text, render_html
+
+    gaz = tuple(gazetteer) if gazetteer else None
+    src = docs.select("doc_id", "text")
+    if not presalted:
+        n = 4 * src.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n, F.pmod(F.xxhash64("doc_id"), F.lit(n)))
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        detector = _get_detector(gaz)
+        for pdf in batches:
+            urls, dts, idxs, texts, labels, starts, ends = [], [], [], [], [], [], []
+            for doc_id, doc_text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                text = extract_text(render_html(f"doc {i}", doc_text))
+                if len(text.split()) <= 0:  # P1 wc>0 filter
+                    continue
+                url = f"doc://{i:08d}"
+                for mi, m in enumerate(detector(text)):
+                    if m.label not in NER_LABELS:
+                        continue
+                    urls.append(url)
+                    dts.append(None)
+                    idxs.append(mi)
+                    texts.append(m.text)
+                    labels.append(m.label)
+                    starts.append(m.start)
+                    ends.append(m.end)
+            yield pd.DataFrame(
+                {
+                    "url": pd.array(urls, dtype="string"),
+                    "doc_type": pd.array(dts, dtype="string"),
+                    "mention_idx": pd.array(idxs, dtype="int32"),
+                    "text": pd.array(texts, dtype="string"),
+                    "label": pd.array(labels, dtype="string"),
+                    "start": pd.array(starts, dtype="int32"),
+                    "end": pd.array(ends, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(_run, MENTION_SCHEMA)

@@ -43,7 +43,30 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # scan split size, parameterised (guide §6): the local test tables
+        # are single parquet files with up to 6 row groups, and the default
+        # 128 MB split leaves a 131 MB lineitem scan on 1-2 cores of 32 —
+        # 16 MB splits align tasks with row groups locally. At production
+        # scale SET THIS UP via env (128 MB-1 GB: large sequential scans
+        # want FEWER, larger map tasks feeding any shuffle — §2.2/§6).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # collect_set/collect_list aggregations (the co-occurrence kernels)
+        # run as ObjectHashAggregate, which silently degrades to SORT-based
+        # aggregation once a partition sees more than 128 groups — the
+        # default is hit by ANY realistic per-doc/per-user grouping and was
+        # costing a full sort of the mention relation per partition
+        # (measured: events_cooccur 0.73 s → 0.55 s, flagship −0.2 s at
+        # sf1.0). 1M groups/partition fits comfortably in task memory for
+        # set-of-ids payloads; production can lower it (or raise partition
+        # counts) via env if group payloads are large.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", str(1_000_000)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -54,3 +54,28 @@ def test_embed_chunks_deterministic_and_normalized(spark, corpus):
     some_id = sorted(by_id)[0]
     kernel = encode_texts([texts[some_id]], 384)[0]
     assert np.allclose(by_id[some_id], kernel, atol=1e-5)
+
+
+def test_chunk_boundaries_query_matches_kernel():
+    """The chunk_boundaries driver query computes (chunk_index, start_word,
+    end_word, word_count) with JVM arithmetic instead of running chunk_text
+    per document (r7: the Arrow round trip of the text payload cost more
+    than the whole query) — this pins that formula to the REAL kernel for
+    every word count from empty through many full windows."""
+    import math
+
+    from ai_knowledge_graph_builder_spark.functions.chunking import chunk_text
+
+    size, overlap, stride = 40, 10, 30
+    for n in range(0, 301):
+        text = " ".join(f"w{i}" for i in range(n))
+        want = [
+            (c.chunk_index, c.start_word, c.end_word, c.word_count)
+            for c in chunk_text(text, chunk_size=size, overlap=overlap)
+        ]
+        n_chunks = 1 if n <= size else math.ceil((n - size) / stride) + 1
+        got = [
+            (ci, ci * stride, min(ci * stride + size, n), min(ci * stride + size, n) - ci * stride)
+            for ci in range(n_chunks)
+        ]
+        assert got == want, (n, got[:3], want[:3])

@@ -76,3 +76,29 @@ def test_fused_extract_detect_matches_unfused(spark, corpus):
     fused = {tuple(r[c] for c in cols)
              for r in extract_and_detect(pages, None).collect()}
     assert fused == unfused and len(fused) > 0
+
+
+def test_synthesized_fused_matches_load_pages_chain(spark):
+    """synthesize_extract_and_detect (r7: synthesis + extraction + NER in
+    one Arrow pass, html never crosses the boundary) emits exactly the
+    mentions of load_pages → extract_and_detect over the same documents
+    table, gazetteer and all."""
+    from ai_knowledge_graph_builder_spark.driver_queries import (
+        flagship_gazetteer,
+        load_pages,
+    )
+    from ai_knowledge_graph_builder_spark.operators.mentions import (
+        extract_and_detect,
+        synthesize_extract_and_detect,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    gaz = flagship_gazetteer()
+    pages = load_pages(spark, sf_dir, salted=True)
+    cols = ["url", "doc_type", "mention_idx", "text", "label", "start", "end"]
+    want = {tuple(r[c] for c in cols)
+            for r in extract_and_detect(pages, gaz, presalted=True).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {tuple(r[c] for c in cols)
+           for r in synthesize_extract_and_detect(docs, gaz).collect()}
+    assert got == want and len(got) > 0

@@ -27,18 +27,20 @@ def plan_str(df) -> str:
 
 
 def test_flagship_scan_prunes_columns(spark):
-    """The documents scan under the flagship reads ONLY (doc_id, text, lang)
-    — a scan shipping all columns into the render UDF would drag the whole
-    table across the memory bus at 100 TB."""
+    """The documents scan under the flagship reads ONLY (doc_id, text) —
+    the two columns the fused synthesis+extraction+NER pass consumes (r7:
+    lang dropped with the standalone pages stage). A scan shipping more
+    columns into the opaque Arrow operator would drag the whole table
+    across the memory bus at 100 TB."""
     from ai_knowledge_graph_builder_spark.driver_queries import kg_inferred_triples
 
     p = plan_str(kg_inferred_triples(spark, SF_DIR))
     scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert scan, p
     for ln in scan:
-        assert "title" not in ln and "embedding" not in ln, ln
-        # the projection is exactly the three columns the synthesis needs
-        assert "doc_id" in ln and "text" in ln and "lang" in ln, ln
+        assert "title" not in ln and "embedding" not in ln and "lang" not in ln, ln
+        # the projection is exactly the two columns the synthesis needs
+        assert "doc_id" in ln and "text" in ln, ln
 
 
 def test_flagship_no_cartesian_and_broadcast_linking(spark):
@@ -177,10 +179,13 @@ def test_ivf_fixed_codebook_assignment_is_projection_only(spark):
     assert len(scans) == 2, p
 
 
-def test_repetition_stats_single_scan_single_agg_chain(spark):
+def test_repetition_stats_single_scan_zero_agg_projection(spark):
     """repetition_stats computes token AND bigram tops from ONE parquet
-    scan and one aggregation chain (tagged grams) — a regression to the
-    two-subplan shape doubles the scan and adds a join."""
+    scan as a PURE PROJECTION (sorted-array longest-run fold): no Join, no
+    Generate/explode, no HashAggregate, and the only Exchange is the
+    round-robin spread of the tiny single-split test scan — a regression
+    to the explode → two-level-agg shape shuffles the whole gram relation
+    (~2 rows per token), which at 100 TB is the entire query cost."""
     import re
 
     from ai_knowledge_graph_builder_spark.driver_queries import repetition_stats
@@ -189,6 +194,12 @@ def test_repetition_stats_single_scan_single_agg_chain(spark):
     p = plan_str(repetition_stats(spark, SF_DIR))
     assert len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M)) == 1, p
     assert "Join" not in p, p
+    assert "Generate" not in p, p
+    assert "HashAggregate" not in p, p
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.M)
+    assert len(exchanges) <= 1, p
+    if exchanges:
+        assert "RoundRobinPartitioning" in p, p
 
 
 def test_media_verbs_shuffle_free_and_blob_never_shuffled(spark):
