@@ -39,6 +39,29 @@ def round4_frac(p, q):
     den = F.lit(2) * q
     return ((num - num % den) / den).cast("long") / F.lit(10000.0)
 
+
+_SESSION_TMPDIRS: list[str] = []
+
+
+def _session_tmpdir(prefix: str) -> str:
+    """A temp dir that outlives the query function but not the process:
+    queries that return a DataFrame lazily reading their own scratch sink
+    (e.g. the streaming sessionizer) must not rmtree in ``finally`` — the
+    r6 workaround was collecting every result row to the driver, which is
+    unbounded memory at corpus scale (guide §5). Dirs are reaped once, at
+    interpreter exit, after every consumer of the lazy plans is done."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SESSION_TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SESSION_TMPDIRS]
+        )
+    _SESSION_TMPDIRS.append(d)
+    return d
+
 # ---------------------------------------------------------------------------
 # Flagship: KG construction over the driver's `documents` table
 # ---------------------------------------------------------------------------
@@ -1499,38 +1522,24 @@ WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
 
 def events_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3 shape on events: per-user distinct event types → unordered pair
-    counts across users (the co-occurrence kernel). One scan + one per-user
-    set aggregation + one in-row pair explode + one pair count — the self-
-    join form scanned and distinct-aggregated the events table TWICE (the
-    broadcast side cannot reuse the stream side's exchange) and then joined;
-    here the k(k-1)/2 ordered pairs are built inside the row over the SORTED
-    per-user type set (position order ⇒ t1 < t2), same as the flagship's
-    cooccurrence_pairs (r7)."""
+    counts across users (two-level aggregation, the co-occurrence kernel).
+
+    r7 note: a one-scan collect_set + in-row pair-explode rewrite (the
+    flagship cooccurrence shape) was measured and REVERTED — at bench scale
+    the broadcast side of this self-join re-scans a tiny table while the
+    set-build costs a serial partial aggregate (net ~15% slower), and at
+    corpus scale both sides exceed the broadcast threshold so the planner's
+    sort-merge self-join reuses ONE exchange for both sides anyway
+    (ReusedExchange) — the double-scan this form shows locally is a
+    small-input artifact, not its scale behavior."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # key-matched repartition: the events parquet is one row group → one
-    # scan task, so a map-side partial collect_set would run serially; an
-    # explicit hash repartition on the GROUPING key at the session's
-    # shuffle parallelism IS the aggregation's exchange (Spark reuses the
-    # partitioning — one shuffle total), moving the raw narrow rows and
-    # running the whole set-build in parallel
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    per_user = (
-        ev.select("user_id", "event_type")
-        .repartition(n_shuffle, "user_id")
-        .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "ts",
-            lambda x, i: F.transform(
-                F.slice("ts", i + F.lit(2), F.size("ts")),
-                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
-            ),
-        )
-    )
-    pairs = per_user.select(F.explode(pair_arr).alias("p")).select("p.t1", "p.t2")
-    return pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("cnt"))
+    per_user = ev.select("user_id", "event_type").distinct()
+    a = per_user.alias("a")
+    b = per_user.alias("b")
+    pairs = a.join(b, "user_id").filter(F.col("a.event_type") < F.col("b.event_type"))
+    return pairs.groupBy(
+        F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
 EVENTS_COOCCUR_SQL = """
@@ -3949,51 +3958,47 @@ def kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three availableNow drains: (1) all real events in one file/one
     micro-batch, (2) the sentinel file advances the watermark, (3) timeout
     processing flushes the remaining open sessions."""
-    import shutil
-    import tempfile
-
     from .streaming.sessions import stream_sessions
 
-    tmp = tempfile.mkdtemp(prefix="kg-stream-sess-")
+    tmp = _session_tmpdir("kg-stream-sess-")
     in_dir, out_dir, ck = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ck"
     sentinel_uid = 999_999_999
-    try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-            "event_id",
-            F.col("ts").cast("timestamp").alias("ts"),
-            "user_id", "event_type", "value", "props",
-        )
-        # one file -> one micro-batch: no intra-drain watermark hazard from
-        # unordered part files (the file source has no cross-file ordering)
-        ev.coalesce(1).write.parquet(in_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    # one file -> one micro-batch: no intra-drain watermark hazard from
+    # unordered part files (the file source has no cross-file ordering)
+    ev.coalesce(1).write.parquet(in_dir)
 
-        def _drain() -> None:
-            q = stream_sessions(spark, in_dir, out_dir, ck,
-                                gap_s=1800, watermark="2 hours")
-            q.awaitTermination(600)
-            if q.isActive:  # pragma: no cover - availableNow should stop
-                q.stop()
+    def _drain() -> None:
+        q = stream_sessions(spark, in_dir, out_dir, ck,
+                            gap_s=1800, watermark="2 hours")
+        q.awaitTermination(600)
+        if q.isActive:  # pragma: no cover - availableNow should stop
+            q.stop()
 
-        _drain()
-        import datetime
+    _drain()
+    import datetime
 
-        max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        sent = spark.createDataFrame(
-            [(0, max_ts + datetime.timedelta(hours=24), sentinel_uid,
-              "sentinel", 0.0, "{}")],
-            ev.schema,
-        )
-        sent.coalesce(1).write.mode("append").parquet(in_dir)
-        _drain()  # sentinel batch: watermark jumps past every gap horizon
-        _drain()  # timeout batch: open sessions flush
-        out = spark.read.parquet(out_dir).filter(
-            F.col("user_id") != sentinel_uid
-        ).select("user_id", "session_start_s", "session_end_s", "n_events")
-        rows = out.collect()
-        schema = out.schema
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent = spark.createDataFrame(
+        [(0, max_ts + datetime.timedelta(hours=24), sentinel_uid,
+          "sentinel", 0.0, "{}")],
+        ev.schema,
+    )
+    sent.coalesce(1).write.mode("append").parquet(in_dir)
+    _drain()  # sentinel batch: watermark jumps past every gap horizon
+    _drain()  # timeout batch: open sessions flush
+    # return the sink-read DataFrame directly — no driver collect (the
+    # r6 form collected every session row to survive a finally-rmtree;
+    # at corpus scale that collect is unbounded driver memory, guide
+    # §5). The sink lives in a session-scoped temp dir reaped at
+    # interpreter exit, after every consumer of the lazy plan is done.
+    return spark.read.parquet(out_dir).filter(
+        F.col("user_id") != sentinel_uid
+    ).select("user_id", "session_start_s", "session_end_s", "n_events")
 
 
 KG_STREAM_SESSIONS_SQL = """

@@ -87,7 +87,9 @@ def run_kg_pipeline(
 
     cooccur = cooccurrence_pairs(mentions)
     if base_edges is None:
-        base_edges = spark.createDataFrame([], infer_edges(cooccur, _empty_edges(spark)).schema)
+        # LocalRelation form (see _empty_edges) so the anti-join and the
+        # union against it optimize away instead of planning real stages
+        base_edges = _empty_edges(spark)
     inferred = infer_edges(cooccur, base_edges)
     edges = base_edges.unionByName(inferred)
 
@@ -114,9 +116,33 @@ def run_kg_pipeline(
 
 
 def _empty_edges(spark: SparkSession) -> DataFrame:
+    """Empty EDGES relation as a true empty ``LocalRelation``.
+
+    ``spark.createDataFrame([], EDGES)`` builds an RDD-backed scan
+    (``applySchemaToPythonRDD``) whose emptiness the optimizer cannot see:
+    the flagship's J7 anti-join against it planned a full SortMergeJoin —
+    an Exchange + Sort of the candidate side PER orientation branch plus a
+    shuffle of the provably-empty side (r7 plan audit). A one-row select
+    of correctly-typed literals under ``limit(0)`` collapses to an empty
+    LocalRelation (OptimizeLimitZero), so PropagateEmptyRelation erases
+    every join/union against it outright. Literal choices preserve EDGES
+    field nullability (non-null literals for non-nullable fields)."""
+    from pyspark.sql import functions as F
+
     from ..schemas import EDGES
 
-    return spark.createDataFrame([], EDGES)
+    dummies = {
+        "src": F.lit(""),
+        "predicate": F.lit(""),
+        "dst": F.lit(""),
+        "flagged": F.lit(False),
+        "inferred": F.lit(False),
+    }
+    cols = [
+        (dummies[f.name] if f.name in dummies else F.lit(None)).cast(f.dataType).alias(f.name)
+        for f in EDGES.fields
+    ]
+    return spark.range(1).select(*cols).limit(0)
 
 
 def run_kg_pipeline_checkpointed(
