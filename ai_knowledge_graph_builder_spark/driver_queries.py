@@ -125,7 +125,8 @@ def load_pages(
     if limit_doc_id is not None:
         docs = docs.filter(F.col("doc_id") < limit_doc_id)
     if salted:
-        n = 4 * spark.sparkContext.defaultParallelism
+        # 1× cores, not 4× — see flagship_mentions_raw (r7 measurement)
+        n = spark.sparkContext.defaultParallelism
         docs = docs.repartition(n, F.pmod(F.xxhash64("doc_id"), F.lit(n)))
 
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -157,7 +158,13 @@ def flagship_mentions_raw(
     from .operators.mentions import synthesize_extract_and_detect
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n = 4 * spark.sparkContext.defaultParallelism
+    # ONE salt partition per core (r7): the historical 4× multiplier cost a
+    # measured extra second at sf1.0 (4.30 s vs 3.32 s min-of-4) and ~1 s
+    # at sf0.1 — with the fully fused single Arrow pass, per-task fixed
+    # costs (Arrow round trip + scheduling) dominate any balance benefit
+    # from finer salting on this uniform corpus. Skewed real corpora can
+    # still raise it at the operator (extract_and_detect keeps 4×).
+    n = spark.sparkContext.defaultParallelism
     docs = docs.select("doc_id", "text").repartition(
         n, F.pmod(F.xxhash64("doc_id"), F.lit(n))
     )
