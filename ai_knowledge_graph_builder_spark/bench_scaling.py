@@ -759,9 +759,21 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
     import json
     import time as _t
 
+    def _publishable_r1(c: dict) -> bool:
+        """EXACTLY the predicate `summarize` applies when publishing the
+        r1 median (value present and plausible, 0 < v <= 2.0) — the
+        r1-priority scheduler must count what will actually publish, or an
+        implausible-but-unflagged reading ends r1 priority before 5
+        publish-grade readings exist (r6 ADVICE #5)."""
+        return (c.get("mode") == "jvms" and c.get("job") == "r1"
+                and not c.get("invalid")
+                and isinstance(c.get("value"), (int, float))
+                and 0.0 < c["value"] <= 2.0)
+
     def _valid_r1_jobs() -> int:
-        """Count valid r1-job jvms readings already banked in the JSONL —
-        the r1-priority scheduler (VERDICT r5 ask #3) keys off this."""
+        """Count publish-grade r1-job jvms readings already banked in the
+        JSONL — the r1-priority scheduler (VERDICT r5 ask #3) keys off
+        this."""
         n = 0
         try:
             with open(jsonl_path) as f:
@@ -770,8 +782,7 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
                         c = json.loads(line)
                     except ValueError:
                         continue
-                    if (c.get("mode") == "jvms" and c.get("job") == "r1"
-                            and not c.get("invalid")):
+                    if _publishable_r1(c):
                         n += 1
         except OSError:
             pass
@@ -841,8 +852,7 @@ def run_paired_daemon(jsonl_path: str = "/root/repo/.scaling_cycles.jsonl",
             _t.sleep(30)
         if _host_busy():
             cyc["invalid"] = cyc.get("invalid") or "dev workload appeared mid-cycle"
-        if (cyc.get("mode") == "jvms" and cyc.get("job") == "r1"
-                and not cyc.get("invalid")):
+        if _publishable_r1(cyc):
             valid_r1 += 1
         with open(jsonl_path, "a") as f:
             f.write(json.dumps(cyc) + "\n")
