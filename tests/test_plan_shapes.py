@@ -51,6 +51,12 @@ def test_flagship_no_cartesian_and_broadcast_linking(spark):
     p = plan_str(kg_inferred_triples(spark, SF_DIR))
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p, p
+    # r7: the J7 anti-join against the empty edge set must be OPTIMIZED
+    # AWAY (empty LocalRelation → PropagateEmptyRelation), not planned as
+    # a real join — createDataFrame([], schema) regressing to an
+    # RDD-backed empty relation re-plans a full SortMergeJoin with an
+    # Exchange + Sort of the candidate side per orientation branch
+    assert "SortMergeJoin" not in p and "LeftAnti" not in p, p
 
 
 def test_filter_pushdown_reaches_parquet(spark):
