@@ -40,16 +40,36 @@ def round4_frac(p, q):
     return ((num - num % den) / den).cast("long") / F.lit(10000.0)
 
 
+def _spread(df: DataFrame, numPartitions: int | None = None,
+            *salt_cols) -> DataFrame:
+    """Round-robin (or salted, when ``salt_cols`` given) repartition of a
+    narrow projection — APPLIED ONLY when the scan actually under-supplies
+    parallelism (the test parquet is one tiny file → one split; a real
+    corpus scan has thousands of splits and must NOT pay a payload
+    shuffle for a spread it already has). The gate implements the
+    'no-op to remove at scale' notes as code instead of a manual edit."""
+    sc = df.sparkSession.sparkContext
+    n = numPartitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if salt_cols:
+        return df.repartition(n, F.pmod(F.xxhash64(*salt_cols), F.lit(n)))
+    return df.repartition(n)
+
+
 _SESSION_TMPDIRS: list[str] = []
 
 
-def _session_tmpdir(prefix: str) -> str:
+def _session_tmpdir(prefix: str, keep_last: int = 4) -> str:
     """A temp dir that outlives the query function but not the process:
     queries that return a DataFrame lazily reading their own scratch sink
     (e.g. the streaming sessionizer) must not rmtree in ``finally`` — the
     r6 workaround was collecting every result row to the driver, which is
-    unbounded memory at corpus scale (guide §5). Dirs are reaped once, at
-    interpreter exit, after every consumer of the lazy plans is done."""
+    unbounded memory at corpus scale (guide §5). Accumulation is bounded:
+    only the newest ``keep_last`` dirs per prefix are kept (a caller still
+    holding a DataFrame over a dir superseded 4 invocations ago has long
+    since consumed it — bench/driver consume each result before the next
+    call), and everything is reaped again at interpreter exit."""
     import atexit
     import shutil
     import tempfile
@@ -60,6 +80,13 @@ def _session_tmpdir(prefix: str) -> str:
             lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SESSION_TMPDIRS]
         )
     _SESSION_TMPDIRS.append(d)
+    import os as _os
+
+    same = [p for p in _SESSION_TMPDIRS
+            if _os.path.basename(p).startswith(prefix)]
+    for stale in same[:-keep_last]:
+        shutil.rmtree(stale, ignore_errors=True)
+        _SESSION_TMPDIRS.remove(stale)
     return d
 
 # ---------------------------------------------------------------------------
@@ -125,9 +152,9 @@ def load_pages(
     if limit_doc_id is not None:
         docs = docs.filter(F.col("doc_id") < limit_doc_id)
     if salted:
-        # 1× cores, not 4× — see flagship_mentions_raw (r7 measurement)
-        n = spark.sparkContext.defaultParallelism
-        docs = docs.repartition(n, F.pmod(F.xxhash64("doc_id"), F.lit(n)))
+        # 1× cores, not 4×, and gated on the scan's real parallelism —
+        # see flagship_mentions_raw (r7 measurement) and _spread
+        docs = _spread(docs, None, "doc_id")
 
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,10 +191,7 @@ def flagship_mentions_raw(
     # costs (Arrow round trip + scheduling) dominate any balance benefit
     # from finer salting on this uniform corpus. Skewed real corpora can
     # still raise it at the operator (extract_and_detect keeps 4×).
-    n = spark.sparkContext.defaultParallelism
-    docs = docs.select("doc_id", "text").repartition(
-        n, F.pmod(F.xxhash64("doc_id"), F.lit(n))
-    )
+    docs = _spread(docs.select("doc_id", "text"), None, "doc_id")
     return synthesize_extract_and_detect(
         docs, gazetteer or flagship_gazetteer(), presalted=True
     )
@@ -1067,11 +1091,13 @@ def chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     of this arithmetic with the kernel's boundaries is pinned by
     tests/test_chunks.py::test_chunk_boundaries_query_matches_kernel."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # spread the single-split test scan (no-op to remove at scale)
-    docs = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    # Python str.split() semantics: whitespace runs, empties dropped
+    # spread the single-split test scan (gated — see _spread)
+    docs = _spread(docs.select("doc_id", "text"))
+    # token count via the \s+ split with empties dropped — identical to
+    # the kernel's Python str.split() on ASCII-whitespace corpora (this
+    # one; the oracle itself splits on the same regex, so the regex form
+    # IS the declared semantics — Python split would additionally break on
+    # Unicode whitespace the oracle does not)
     w = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     base = docs.select("doc_id", F.size(w).cast("long").alias("n"))
     n = F.col("n")
@@ -1160,14 +1186,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark BigDecimal HALF_UP said 0.5983 while DuckDB's double-arithmetic
     round said 0.5982."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # spread the single-split test scan (see repetition_stats — same note:
-    # at production scale the scan has many splits and this is a no-op to
-    # remove); only the cheap non-empty filter stays on the scan side
-    docs = (
-        docs.filter(F.length(F.trim("text")) > 0)
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # spread the single-split test scan (gated — see _spread); only the
+    # cheap non-empty filter stays on the scan side
+    docs = _spread(docs.filter(F.length(F.trim("text")) > 0).select("doc_id", "text"))
     # stepped projections: each alias below is referenced more than once
     # downstream, and CollapseProject refrains from inlining non-cheap
     # aliases — so trim/split/array_distinct/filter are each EVALUATED
@@ -1278,11 +1299,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression ids defeat the Janino cache) and lost at sf0.1 (1.15 s vs
     0.43 s) — the fold form is kept as the better shape across scales."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    # the test parquet is one tiny file → one scan split; spread the signature
-    # compute across cores. At production scale the scan has thousands of
-    # splits and this round-robin repartition of (id, text) is a no-op to
-    # remove — it is NOT part of the algorithm (which is shuffle-free).
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # the test parquet is one tiny file → one scan split; spread the
+    # signature compute across cores (gated — see _spread; NOT part of the
+    # algorithm, which is shuffle-free).
+    docs = _spread(docs)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
     hashes = F.transform(toks, lambda w: F.md5(w))
     # fold tokens → 32 vote counters (±1 per md5 nibble high-bit)
@@ -1419,7 +1439,8 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluating the full cosine for all n² ordered combinations instead
     # of n²/2 (the round-6 plan did exactly that — both folds first, id
     # check last); norms are precomputed per vector (_normed), so each
-    # candidate pair pays one dot fold only
+    # candidate pair pays one dot fold in the condition (the projection
+    # below re-evaluates it only for the ~10² SURVIVING rows)
     pairs = a.join(b, (F.col("v1") < F.col("v2")) & (score >= 0.35))
     return pairs.select("v1", "v2", score.alias("score"))
 
@@ -1772,8 +1793,8 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread the one-split test scan before the in-row shingle/minhash
     # projections (16 md5 passes per doc would otherwise run on one core;
-    # no-op to remove at scale — see repetition_stats)
-    both = both.repartition(spark.sparkContext.defaultParallelism)
+    # gated — see _spread)
+    both = _spread(both)
     pairs = minhash_dedup_pairs(both, "doc_id", "text", tau=0.5, num_hashes=16, bands=4)
     # tie-consistent 4dp: floor(x·1e4 + 0.5) is the same IEEE arithmetic in
     # both engines even when the integer-ratio jaccard lands on a .xxxx5
@@ -3553,14 +3574,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition (filters cross RoundRobin exchanges) and re-runs the
     # full regex split serially on the pre-spread side.
     docs = docs.filter(F.trim(F.col("text")).rlike(r"\S\s+\S"))
-    # spread the scan: the test parquet is one tiny file → one split, so
-    # without this the whole per-doc fold runs on one core. At production
-    # scale the scan has thousands of splits and this round-robin
-    # repartition of the narrow (doc_id, text) projection is a no-op to
-    # remove — it is NOT part of the algorithm (which is shuffle-free).
-    docs = docs.select("doc_id", "text").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread the scan (gated: only when the scan under-supplies
+    # parallelism — the test parquet is one split; a corpus scan is not):
+    # the round-robin repartition of the narrow (doc_id, text) projection
+    # is NOT part of the algorithm (which is shuffle-free).
+    docs = _spread(docs.select("doc_id", "text"))
     # trim() strips only spaces, so text bounded by tabs/newlines would
     # split into phantom '' tokens (and a whitespace-only doc would report
     # top_token_frac=1.0 for the empty token) — drop empties explicitly

@@ -49,17 +49,32 @@ def exact_dedup_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle): distinct token n-grams, built JVM-side."""
+def _shingle_array_expr(text_col: str, n: int):
+    """The token n-gram array of one text column — the ONE definition of a
+    shingle, shared by the array-native and exploded-relation shapes (and
+    mirrored by the DuckDB oracle)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     idxs = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.when(
+    return F.when(
         F.size(words) >= n,
         F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .distinct()
+
+
+def _seed_md5(i: int, shingle_col):
+    """The minhash family member i — md5(str(i) || ':' || shingle). ONE
+    definition: the DuckDB oracle and every Spark shape must agree on it
+    byte-for-byte or LSH candidates silently diverge from signatures."""
+    return F.md5(F.concat_ws(":", F.lit(str(i)), shingle_col))
+
+
+def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle): distinct token n-grams, built JVM-side. Per-id dedup
+    happens IN THE ROW (array_distinct via shingle_arrays) before the
+    explode — the r6 form exploded first and paid a global DISTINCT
+    shuffle for a per-id property."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("sh").alias("shingle")
     )
 
 
@@ -104,9 +119,7 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     where this shuffles one partially-aggregated row per doc, a k× shuffle
     volume reduction that compounds at corpus scale."""
     mins = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))
-        ).alias(f"h{i}")
+        F.min(_seed_md5(i, F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy("id").agg(*mins)
@@ -158,18 +171,12 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame) -> DataFrame:
 
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, sh): the DISTINCT token n-gram set of each row as an in-row
-    array — same shingle definition as ``token_shingles`` but deduplicated
-    with ``array_distinct`` inside the row instead of a global DISTINCT,
-    which removes a whole (id, shingle)-keyed shuffle (dedup is per-id, so
-    no row ever needed to leave its task for it)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idxs = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)])),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    array (``_shingle_array_expr`` + ``array_distinct``) — dedup is a
+    per-id property, so no row ever needs to leave its task for it (the
+    exploded-relation + global DISTINCT form paid a whole shuffle)."""
     return df.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles).alias("sh")
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingle_array_expr(text_col, n)).alias("sh"),
     )
 
 
@@ -198,10 +205,15 @@ def minhash_dedup_pairs(
     handle rides on the result — ``dedup.release(result)`` after
     materializing."""
     base = shingle_arrays(df, id_col, text_col).persist()
+
+    # NOTE: a default-arg lambda (``lambda x, _i=i``) must NOT be used
+    # here — pyspark treats any 2-parameter transform lambda as
+    # (element, index) and would bind the ARRAY INDEX to the seed
+    def _member(i: int):
+        return lambda x: _seed_md5(i, x)
+
     mins = [
-        F.array_min(
-            F.transform("sh", lambda x: F.md5(F.concat_ws(":", F.lit(str(i)), x)))
-        ).alias(f"h{i}")
+        F.array_min(F.transform("sh", _member(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = base.select("id", *mins)

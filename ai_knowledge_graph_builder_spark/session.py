@@ -60,12 +60,15 @@ def get_spark(
         # default is hit by ANY realistic per-doc/per-user grouping and was
         # costing a full sort of the mention relation per partition
         # (measured: events_cooccur 0.73 s → 0.55 s, flagship −0.2 s at
-        # sf1.0). 1M groups/partition fits comfortably in task memory for
-        # set-of-ids payloads; production can lower it (or raise partition
-        # counts) via env if group payloads are large.
+        # sf1.0). 64Ki keeps the hash path for every grouping this engine
+        # plans (max observed ~4.7k groups/partition) with 14× headroom
+        # while still bounding the untracked in-heap object map the
+        # fallback exists to protect (≈ tens of MB/task for set-of-ids
+        # payloads, vs unbounded at very large values); raise/lower via env
+        # for fat payloads or wider groupings.
         .config(
             "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-            os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", str(1_000_000)),
+            os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", str(65_536)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

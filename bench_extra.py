@@ -35,10 +35,15 @@ def main() -> None:
     args = sys.argv[1:]
 
     def _opt(flag: str, default: str | None = None) -> str | None:
-        return args[args.index(flag) + 1] if flag in args else default
+        if flag in args:
+            i = args.index(flag) + 1
+            if i >= len(args):
+                sys.exit(f"{flag} requires a value")
+            return args[i]
+        return default
 
     sf_dir = _opt("--sf-dir", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    tries = int(_opt("--tries", "2"))
+    tries = max(1, int(_opt("--tries", "2")))
     tag = _opt("--explain-tag")
     names = (_opt("--queries") or ",".join(HEADLINE)).split(",")
 
