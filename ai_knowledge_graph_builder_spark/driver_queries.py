@@ -1305,19 +1305,19 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(docs)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
     hashes = F.transform(toks, lambda w: F.md5(w))
-    # fold tokens → 32 vote counters (±1 per md5 nibble high-bit)
+    # fold tokens → 32 vote counters (±1 per md5 nibble high-bit). ONE
+    # zip_with against the CONSTANT-FOLDED position sequence per token —
+    # the transform-then-zip_with form allocated an extra intermediate
+    # 32-array per token (~10% of query time at sf1.0, r7)
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), 32),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(1), F.lit(32)),
-                # nibble high bit ⟺ hex char ∈ {8..9, a..f} ⟺ char >= '8'
-                # (ASCII '0'<'9'<'a'<'f') — one comparison, not an 8-way isin
-                lambda p: F.when(h.substr(p, F.lit(1)) >= "8", 1).otherwise(-1),
-            ),
-            lambda a, v: a + v,
+            F.sequence(F.lit(1), F.lit(32)),
+            # nibble high bit ⟺ hex char ∈ {8..9, a..f} ⟺ char >= '8'
+            # (ASCII '0'<'9'<'a'<'f') — one comparison, not an 8-way isin
+            lambda a, p: a + F.when(h.substr(p, F.lit(1)) >= "8", 1).otherwise(-1),
         ),
     )
     # fold vote signs → the 32-bit signature (pos 1 = MSB, as the oracle)
