@@ -72,7 +72,11 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     """(id, shingle): distinct token n-grams, built JVM-side. Per-id dedup
     happens IN THE ROW (array_distinct via shingle_arrays) before the
     explode — the r6 form exploded first and paid a global DISTINCT
-    shuffle for a per-id property."""
+    shuffle for a per-id property. PRECONDITION (all dedup operators):
+    ``id_col`` is unique per input row — ids are document keys by
+    construction everywhere in this engine; a caller with duplicate-id
+    rows must pre-aggregate (concat or dropDuplicates) first, or shingle
+    sets / Jaccard counts double."""
     return shingle_arrays(df, id_col, text_col, n).select(
         "id", F.explode("sh").alias("shingle")
     )
