@@ -41,16 +41,23 @@ def round4_frac(p, q):
 
 
 def _spread(df: DataFrame, numPartitions: int | None = None,
-            *salt_cols) -> DataFrame:
+            *salt_cols, force: bool = False) -> DataFrame:
     """Round-robin (or salted, when ``salt_cols`` given) repartition of a
     narrow projection — APPLIED ONLY when the scan actually under-supplies
     parallelism (the test parquet is one tiny file → one split; a real
     corpus scan has thousands of splits and must NOT pay a payload
     shuffle for a spread it already has). The gate implements the
-    'no-op to remove at scale' notes as code instead of a manual edit."""
+    'no-op to remove at scale' notes as code instead of a manual edit.
+
+    ``force=True`` bypasses the gate — required when a selective filter
+    sits below (many splits, but the surviving rows cluster in a few), so
+    the raw split count overstates real parallelism. Scope note: call
+    only on scan-rooted plans — the partition-count probe converts to an
+    RDD, which under AQE would finalize (i.e. RUN) any upstream exchange
+    stages; every call site here is scan+filter+project only."""
     sc = df.sparkSession.sparkContext
     n = numPartitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if not force and df.rdd.getNumPartitions() >= n:
         return df
     if salt_cols:
         return df.repartition(n, F.pmod(F.xxhash64(*salt_cols), F.lit(n)))
@@ -66,10 +73,12 @@ def _session_tmpdir(prefix: str, keep_last: int = 4) -> str:
     (e.g. the streaming sessionizer) must not rmtree in ``finally`` — the
     r6 workaround was collecting every result row to the driver, which is
     unbounded memory at corpus scale (guide §5). Accumulation is bounded:
-    only the newest ``keep_last`` dirs per prefix are kept (a caller still
-    holding a DataFrame over a dir superseded 4 invocations ago has long
-    since consumed it — bench/driver consume each result before the next
-    call), and everything is reaped again at interpreter exit."""
+    only the newest ``keep_last`` dirs per prefix are kept, and everything
+    is reaped again at interpreter exit. CONTRACT: consume (or cache) a
+    returned DataFrame before invoking the same query ``keep_last`` more
+    times — the reaper assumes superseded results were already consumed,
+    which bench/driver/tests all satisfy (each materializes the result
+    before the next call)."""
     import atexit
     import shutil
     import tempfile
@@ -153,8 +162,11 @@ def load_pages(
         docs = docs.filter(F.col("doc_id") < limit_doc_id)
     if salted:
         # 1× cores, not 4×, and gated on the scan's real parallelism —
-        # see flagship_mentions_raw (r7 measurement) and _spread
-        docs = _spread(docs, None, "doc_id")
+        # see flagship_mentions_raw (r7 measurement) and _spread. When a
+        # limit filter is present the survivors cluster in a few splits
+        # while the raw split count looks healthy, so the gate must not
+        # apply (self-review r7).
+        docs = _spread(docs, None, "doc_id", force=limit_doc_id is not None)
 
     def _mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
